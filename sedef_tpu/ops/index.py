@@ -1,0 +1,83 @@
+"""Minimizer index over a packed sequence.
+
+Array-based equivalent of the reference ``Index`` (``src/hash.h:50-68``,
+``src/hash.cc:113-161``): instead of an ``unordered_map<Hash, list<int>>`` we
+keep the minimizers twice —
+
+* ``keys``/``locs``: sorted by locus (the scan order the search engine walks);
+* ``skeys``/``slocs``: sorted by (key, locus) with ``searchsorted`` lookup —
+  the posting "lists" are contiguous slices of ``slocs``.
+
+The frequency threshold drops the top INDEX_CUTOFF=0.001 % most frequent
+hashes exactly like ``hash.cc:124-140``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT, Config
+from .dna import PackedSeq
+from .winnow import minimizers
+
+
+class MinimizerIndex:
+    def __init__(self, seq: PackedSeq, kmer_size: int, window_size: int,
+                 separate_lowercase: bool = True, cfg: Config = DEFAULT,
+                 use_device: bool = False):
+        self.seq = seq
+        self.kmer_size = kmer_size
+        self.window_size = window_size
+        keys, locs = minimizers(seq.code, seq.cls, kmer_size, window_size,
+                                use_device=use_device)
+        if not separate_lowercase:
+            # ALL_LOWERCASE status collapses into HAS_UPPERCASE (hash.cc:81-83)
+            status = keys >> (2 * kmer_size)
+            keys = np.where(status == 1, keys - (1 << (2 * kmer_size)), keys)
+        self.keys = keys          # int64, in locus order
+        self.locs = locs          # int32, ascending
+        order = np.argsort(keys, kind="stable")
+        self.skeys = keys[order]
+        self.slocs = locs[order]
+
+        # Frequency threshold (hash.cc:124-140): let ``ignore`` be the number
+        # of distinct hashes we may drop; walking posting-list sizes from the
+        # largest, the threshold is the smallest size still within budget.
+        ignore = int((len(keys) * cfg.hash.index_cutoff) / 100.0)
+        uniq, counts = np.unique(self.skeys, return_counts=True)
+        self.threshold = 1 << 31
+        if len(counts):
+            sizes, nsizes = np.unique(counts, return_counts=True)
+            acc = 0
+            for sz, cnt in zip(sizes[::-1], nsizes[::-1]):
+                acc += int(cnt)
+                if acc <= ignore:
+                    self.threshold = int(sz)
+                else:
+                    break
+        self._uniq = uniq
+        self._starts = np.searchsorted(self.skeys, uniq, side="left")
+        self._ends = np.searchsorted(self.skeys, uniq, side="right")
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def find_minimizers(self, p: int) -> int:
+        """Index of first minimizer with loc >= p (``hash.cc:143-161``)."""
+        return int(np.searchsorted(self.locs, p, side="left"))
+
+    def posting(self, key: int) -> np.ndarray:
+        """Loci of all minimizers with this key (ascending)."""
+        lo = np.searchsorted(self.skeys, key, side="left")
+        hi = np.searchsorted(self.skeys, key, side="right")
+        if hi == lo:
+            return np.empty(0, dtype=np.int32)
+        return np.sort(self.slocs[lo:hi])
+
+    def posting_size(self, key: int) -> int:
+        lo = np.searchsorted(self.skeys, key, side="left")
+        hi = np.searchsorted(self.skeys, key, side="right")
+        return int(hi - lo)
+
+    def status_of(self, key: int) -> int:
+        return int(key >> (2 * self.kmer_size))
