@@ -1,0 +1,242 @@
+"""End-to-end SD pipeline: search -> bucket -> align -> stats -> final.bed.
+
+In-process equivalent of the reference bash driver (``sedef.sh``) plus the
+align/bucket/stats subcommand drivers (``src/align_main.cc``,
+``src/stats_main.cc``).  Stage boundaries remain file-compatible BED so every
+intermediate is diffable against the reference pipeline's
+``seeds.bed`` / ``aligned.bed`` / ``final.bed``.
+
+Coordinates are chromosomal everywhere: the super-bins of
+``generate_translation`` only group chromosomes into jobs
+(search_main.cc:143-168); the reference's ``translation_index`` remapping is
+dead code (never populated) and is not replicated.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+from collections import defaultdict
+
+from ..config import DEFAULT, Config
+from ..io.bed import Hit, canonical_swap
+from ..io.fasta import FastaReference, generate_translation
+from ..ops.dna import PackedSeq, revcomp
+from ..ops.index import MinimizerIndex
+from ..ops.merge_hits import merge_hits
+from ..ops.wavefront import WavefrontAligner
+from . import reporter
+from .aligner import fast_align
+from .seeder import initial_search
+
+
+def search_job(fr: FastaReference, query_chrs: list[str],
+               ref_chrs: list[str], is_rc: bool, cfg: Config = DEFAULT,
+               use_device: bool = False) -> list[str]:
+    """One stage-1 job: all query x ref chromosome pairs of two super-bins
+    on one strand (search_main.cc:122-196).  Returns seed BED lines."""
+    indices: dict[tuple[str, bool], MinimizerIndex] = {}
+    for r in ref_chrs:
+        seq = fr.get_sequence(r)
+        indices[(r, is_rc)] = MinimizerIndex(
+            PackedSeq(r, seq, is_rc=is_rc), cfg.search.kmer_size,
+            cfg.search.window_size, use_device=use_device)
+    for q in query_chrs:
+        if (q, False) not in indices:
+            seq = fr.get_sequence(q)
+            indices[(q, False)] = MinimizerIndex(
+                PackedSeq(q, seq), cfg.search.kmer_size,
+                cfg.search.window_size, use_device=use_device)
+    lines: list[str] = []
+    for r in ref_chrs:
+        rh = indices[(r, is_rc)]
+        for q in query_chrs:
+            qh = indices[(q, False)]
+            same_genome = (q == r) and not is_rc
+            hits = initial_search(qh, rh, same_genome, cfg)
+            lines.extend(h.to_bed() for h in hits)
+    return lines
+
+
+def search_stage(fr: FastaReference, bins: list[list[str]],
+                 cfg: Config = DEFAULT, use_device: bool = False,
+                 progress=None) -> list[str]:
+    """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140)."""
+    lines: list[str] = []
+    nbins = len(bins)
+    for j in range(nbins):          # reference bin
+        for i in range(j, nbins):   # query bin
+            for is_rc in (False, True):
+                job = search_job(fr, bins[i], bins[j], is_rc, cfg,
+                                 use_device)
+                lines.extend(job)
+                if progress:
+                    progress(i, j, is_rc, len(job))
+    return lines
+
+
+def bucket_stage(seed_lines: list[str], fr: FastaReference,
+                 bins: list[list[str]], nbuckets: int = 1000,
+                 cfg: Config = DEFAULT) -> list[list[str]]:
+    """Stage 2a (align_main.cc:38-198): extend x5/15 Kbp, canonical swap,
+    per-(bin_i, bin_j) merge, complexity-stratified round-robin buckets."""
+    lookup: dict[str, int] = {}
+    for bi, names in enumerate(bins):
+        for name in names:
+            lookup[name] = bi
+
+    tmp: dict[tuple[int, int], list[Hit]] = defaultdict(list)
+    tmp_order: list[tuple[int, int]] = []
+    for line in seed_lines:
+        if not line.strip():
+            continue
+        h, _ = Hit.from_bed(line)
+        h.extend(cfg.extend.ratio, cfg.extend.max_extend)
+        canonical_swap(h)
+        key = (lookup[h.query.name], lookup[h.ref.name])
+        if key not in tmp:
+            tmp_order.append(key)
+        tmp[key].append(h)
+
+    # the reference iterates its tmp-file map in lexicographic filename
+    # order; numeric key order matches for < 10 bins, which covers the
+    # supported configurations identically after the global sort|uniq
+    merged: dict[tuple[int, int], list[str]] = {}
+    max_complexity = 0
+    complexity_hist: dict[int, int] = defaultdict(int)
+    for key in sorted(tmp):
+        # tmp files round-trip through to_bed(False)/from_bed in the
+        # reference; replicate so coordinates/strands match exactly
+        hits = [Hit.from_bed(h.to_bed(False))[0] for h in tmp[key]]
+        hits = merge_hits(hits, cfg.extend.merge_dist)
+        for h in hits:
+            c = int(math.sqrt(float(h.query_end - h.query_start)
+                              * float(h.ref_end - h.ref_start)))
+            max_complexity = max(max_complexity, c)
+            complexity_hist[c // 1000] += 1
+        merged[key] = [h.to_bed(False) for h in hits]
+
+    next_bin = [0]
+    for c in range(1, max_complexity // 1000 + 1):
+        next_bin.append((next_bin[c - 1] + complexity_hist[c - 1]) % nbuckets)
+
+    buckets: list[list[str]] = [[] for _ in range(nbuckets)]
+    for key in sorted(merged):
+        for line in merged[key]:
+            h, _ = Hit.from_bed(line)
+            c = int(math.sqrt(float(h.query_end - h.query_start)
+                              * float(h.ref_end - h.ref_start))) // 1000
+            b = next_bin[c]
+            next_bin[c] = (next_bin[c] + 1) % nbuckets
+            if h.query.is_rc:
+                h.query, h.ref = h.ref, h.query
+                h.query_start, h.ref_start = h.ref_start, h.query_start
+                h.query_end, h.ref_end = h.ref_end, h.query_end
+            buckets[b].append(h.to_bed(False))
+    return buckets
+
+
+def align_stage(bucket_lines: list[str], fr: FastaReference,
+                cfg: Config = DEFAULT,
+                aligner: WavefrontAligner | None = None,
+                kmer_size: int = 11) -> list[str]:
+    """Stage 2b (align_main.cc:285-337): fast_align per extended region,
+    coordinates lifted back to chromosome space."""
+    out: list[str] = []
+    for line in bucket_lines:
+        if not line.strip():
+            continue
+        h, _ = Hit.from_bed(line)
+        h.query_end = min(h.query_end, fr.length(h.query.name))
+        h.ref_end = min(h.ref_end, fr.length(h.ref.name))
+        h.query.length = fr.length(h.query.name)
+        h.ref.length = fr.length(h.ref.name)
+        fa = fr.get_sequence(h.query.name, h.query_start, h.query_end)
+        fb = fr.get_sequence(h.ref.name, h.ref_start, h.ref_end)
+        if h.ref.is_rc:
+            fb = revcomp(fb)
+        alns = fast_align(fa, fb, h, kmer_size, cfg, aligner)
+        for hh in alns:
+            hh.query_start += h.query_start
+            hh.query_end += h.query_start
+            if h.ref.is_rc:
+                hh.ref_start, hh.ref_end = hh.ref_end, hh.ref_start
+                hh.ref_start = h.ref_end - hh.ref_start
+                hh.ref_end = h.ref_end - hh.ref_end
+                hh.ref.is_rc = True
+            else:
+                hh.ref_start += h.ref_start
+                hh.ref_end += h.ref_start
+            hh.query.name = h.query.name
+            hh.ref.name = h.ref.name
+            out.append(hh.to_bed(False) + "\t" + h.to_bed(False))
+    return out
+
+
+_V_RE = re.compile(r"(\d+)")
+
+
+class _RevStr(str):
+    """Reversed string ordering for sort -k...r keys."""
+
+    def __lt__(self, other):  # type: ignore[override]
+        return str.__gt__(self, other)
+
+    def __gt__(self, other):  # type: ignore[override]
+        return str.__lt__(self, other)
+
+
+def _version_key(s: str):
+    """GNU sort -V-ish key for chromosome names."""
+    return tuple(int(p) if p.isdigit() else p for p in _V_RE.split(s))
+
+
+def canonical_sort_uniq(lines: list[str]) -> list[str]:
+    """sort -k1,1V -k9,9r -k10,10r -k4,4V -k2,2n -k3,3n -k5,5n -k6,6n | uniq
+    (sedef.sh:221,228)."""
+    def key(line: str):
+        f = line.split("\t")
+        return (_version_key(f[0]), _RevStr(f[8]), _RevStr(f[9]),
+                _version_key(f[3]), int(f[1]), int(f[2]), int(f[4]),
+                int(f[5]), line)
+
+    out: list[str] = []
+    last = None
+    for line in sorted(lines, key=key):
+        if line != last:
+            out.append(line)
+        last = line
+    return out
+
+
+def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
+                 nbuckets: int = 1000, use_device: bool = False,
+                 aligner: WavefrontAligner | None = None) -> dict[str, str]:
+    """Full pipeline on one host; returns paths of the stage outputs."""
+    os.makedirs(out_dir, exist_ok=True)
+    fr = FastaReference(fasta_path)
+    bins = generate_translation(fr)
+
+    seed_lines = search_stage(fr, bins, cfg, use_device=use_device)
+    seeds_path = os.path.join(out_dir, "seeds.bed")
+    with open(seeds_path, "w") as f:
+        f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
+
+    buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
+    aligned: list[str] = []
+    for bucket in buckets:
+        aligned.extend(align_stage(bucket, fr, cfg, aligner))
+    aligned = canonical_sort_uniq(aligned)
+    aligned_path = os.path.join(out_dir, "aligned.bed")
+    with open(aligned_path, "w") as f:
+        f.write("\n".join(aligned) + ("\n" if aligned else ""))
+
+    final_rows = reporter.stats_rows(aligned, fr, cfg)
+    final_rows = canonical_sort_uniq(final_rows)
+    final_path = os.path.join(out_dir, "final.bed")
+    with open(final_path, "w") as f:
+        f.write(reporter.HEADER + "\n")
+        f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
+    return {"seeds": seeds_path, "aligned": aligned_path,
+            "final": final_path}

@@ -1,0 +1,465 @@
+"""Stage-1 seed search: sliding-Jaccard SD discovery over minimizer indexes.
+
+Semantics-equivalent rewrite of ``src/search.cc`` + ``src/search_main.cc``:
+per query window, candidate ref loci are collected from posting lists,
+clustered into intervals, each interval's 700 bp window is rolled to the
+best Jaccard position, filtered (uppercase + q-gram), greedily extended
+minimizer-by-minimizer in three modes, and deduplicated against an
+interval tree of already-reported hit rectangles.
+
+The boost-ICL two-level interval map (search.h:31-34) is replaced by
+``HitTree`` — a pruned rectangle list with identical query semantics: the
+is_overlap / candidate-prune tests only ever ask "which stored rectangles
+contain this (query, ref) point", and the only domain subtraction is a
+monotonically-growing prefix (search.cc:469), which can never hide a
+rectangle from the always-larger future query points — so pruning fully-
+passed rectangles is exactly equivalent.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+from ..config import DEFAULT, Config
+from ..io.bed import Hit, SeqRef
+from ..ops import filter as filt
+from ..ops.dna import PackedSeq
+from ..ops.index import MinimizerIndex
+from ..ops.sliding import SlidingJaccard
+from ..ops.winnow import STATUS_HAS_UPPERCASE
+
+
+class HitTree:
+    """Rectangle set with 2D point-containment queries (see module doc)."""
+
+    def __init__(self):
+        self.rects: list[tuple[int, int, int, int]] = []  # (qs, qe, rs, re)
+
+    def add(self, qs: int, qe: int, rs: int, re_: int) -> None:
+        self.rects.append((qs, qe, rs, re_))
+
+    def prune(self, upto: int) -> None:
+        """tree -= [0, upto): rectangles with qe <= upto become invisible to
+        all future (monotonically larger) query points."""
+        if upto <= 0:
+            return
+        self.rects = [r for r in self.rects if r[1] > upto]
+
+    def covering(self, q: int, r: int):
+        for qs, qe, rs, re_ in self.rects:
+            if qs <= q < qe and rs <= r < re_:
+                yield (qs, qe, rs, re_)
+
+    def covers(self, q: int, r: int) -> bool:
+        for _ in self.covering(q, r):
+            return True
+        return False
+
+
+def is_overlap(tree: HitTree, pf_pos: int, pf_end: int, pfp_pos: int,
+               pfp_end: int, cfg: Config) -> bool:
+    """search.cc:35-71"""
+    for sA, eA, sB, eB in tree.covering(pf_pos, pfp_pos):
+        # 1. total containment
+        if pf_pos >= sA and pf_end <= eA and pfp_pos >= sB and pfp_end <= eB:
+            return True
+        # 2. ignore small stored intervals
+        if min(eA - sA, eB - sB) < cfg.search.min_read_size * 1.5:
+            continue
+        # 3. require a substantial right-side overlap
+        right_allowance = cfg.search.min_read_size
+        if eA - pf_pos >= right_allowance and eB - pfp_pos >= right_allowance:
+            return True
+    return False
+
+
+def parse_hits(hits: list[Hit]) -> list[Hit]:
+    """Drop hits fully contained in another hit of this batch
+    (search.cc:73-91)."""
+    out = []
+    for i, h in enumerate(hits):
+        add = True
+        for j, ph in enumerate(hits):
+            if i != j and (h.ref_start >= ph.ref_start
+                           and h.ref_end <= ph.ref_end
+                           and h.query_start >= ph.query_start
+                           and h.query_end <= ph.query_end):
+                add = False
+                break
+        if add:
+            out.append(h)
+    return out
+
+
+def extend(winnow: SlidingJaccard, query_hash: MinimizerIndex,
+           query_start: int, query_end: int,
+           query_winnow_start: int, query_winnow_end: int,
+           ref_hash: MinimizerIndex, ref_start: int, ref_end: int,
+           ref_winnow_start: int, ref_winnow_end: int,
+           same_genome: bool, cfg: Config) -> Hit:
+    """Greedy 3-mode window growth under the Jaccard gate
+    (search.cc:95-259)."""
+    qmin, rmin = query_hash, ref_hash
+    qlen, rlen = len(qmin.seq), len(rmin.seq)
+    nq, nr = len(qmin.keys), len(rmin.keys)
+    st = {"qs": query_start, "qe": query_end, "rs": ref_start, "re": ref_end,
+          "qws": query_winnow_start, "qwe": query_winnow_end,
+          "rws": ref_winnow_start, "rwe": ref_winnow_end}
+
+    def q_right():
+        if st["qwe"] >= nq:
+            return False
+        winnow.add_to_query(int(qmin.keys[st["qwe"]]))
+        st["qwe"] += 1
+        st["qe"] = int(qmin.locs[st["qwe"]]) if st["qwe"] < nq else qlen
+        return True
+
+    def undo_q_right():
+        st["qwe"] -= 1
+        winnow.remove_from_query(int(qmin.keys[st["qwe"]]))
+        st["qe"] = int(qmin.locs[st["qwe"]])
+
+    def r_right():
+        if st["rwe"] >= nr:
+            return False
+        winnow.add_to_reference(int(rmin.keys[st["rwe"]]))
+        st["rwe"] += 1
+        st["re"] = int(rmin.locs[st["rwe"]]) if st["rwe"] < nr else rlen
+        return True
+
+    def undo_r_right():
+        st["rwe"] -= 1
+        winnow.remove_from_reference(int(rmin.keys[st["rwe"]]))
+        st["re"] = int(rmin.locs[st["rwe"]])
+
+    def both_right():
+        if st["rwe"] >= nr or st["qwe"] >= nq:
+            return False
+        r = q_right()
+        r &= r_right()
+        return r
+
+    def undo_both_right():
+        undo_r_right()
+        undo_q_right()
+
+    def q_left():
+        if not st["qws"]:
+            return False
+        st["qws"] -= 1
+        winnow.add_to_query(int(qmin.keys[st["qws"]]))
+        st["qs"] = int(qmin.locs[st["qws"] - 1]) + 1 if st["qws"] else 0
+        return True
+
+    def undo_q_left():
+        st["qs"] = int(qmin.locs[st["qws"]]) + 1
+        winnow.remove_from_query(int(qmin.keys[st["qws"]]))
+        st["qws"] += 1
+
+    def r_left():
+        if not st["rws"]:
+            return False
+        st["rws"] -= 1
+        winnow.add_to_reference(int(rmin.keys[st["rws"]]))
+        st["rs"] = int(rmin.locs[st["rws"] - 1]) + 1 if st["rws"] else 0
+        return True
+
+    def undo_r_left():
+        st["rs"] = int(rmin.locs[st["rws"]]) + 1
+        winnow.remove_from_reference(int(rmin.keys[st["rws"]]))
+        st["rws"] += 1
+
+    def both_left():
+        if not st["qws"] or not st["rws"]:
+            return False
+        r = q_left()
+        r &= r_left()
+        return r
+
+    def undo_both_left():
+        undo_r_left()
+        undo_q_left()
+
+    def both_both():
+        if not st["qws"] or not st["rws"]:
+            return False
+        if st["rwe"] >= nr or st["qwe"] >= nq:
+            return False
+        r = both_left()
+        r &= both_right()
+        return r
+
+    def undo_both_both():
+        undo_both_right()
+        undo_both_left()
+
+    extensions = [(both_both, undo_both_both), (both_right, undo_both_right),
+                  (both_left, undo_both_left)]
+
+    # snap to winnow boundaries first (search.cc:206-217)
+    st["qs"] = int(qmin.locs[st["qws"] - 1]) + 1 if st["qws"] else 0
+    st["qe"] = int(qmin.locs[st["qwe"]]) if st["qwe"] < nq else qlen
+    st["rs"] = int(rmin.locs[st["rws"] - 1]) + 1 if st["rws"] else 0
+    st["re"] = int(rmin.locs[st["rwe"]]) if st["rwe"] < nr else rlen
+
+    max_gap_error = cfg.search.max_error - cfg.search.max_edit_error
+    while True:
+        if same_genome:
+            max_match = min(cfg.search.max_sd_size,
+                            int((1.0 / max_gap_error + .5)
+                                * abs(st["qs"] - st["rs"])))
+        else:
+            max_match = cfg.search.max_sd_size
+        aln_len = max(st["qe"] - st["qs"], st["re"] - st["rs"])
+        seq_len = min(st["qe"] - st["qs"], st["re"] - st["rs"])
+        if (aln_len > max_match
+                or 100.0 * seq_len / aln_len < 100 * (1 - 2 * max_gap_error)):
+            break
+        if same_genome:
+            overlap = st["qe"] - st["rs"]
+            if (overlap > 0 and 100.0 * overlap / (st["re"] - st["rs"])
+                    > 100 * cfg.search.max_error):
+                break
+        extended = False
+        for do, undo in extensions:
+            if not do():
+                continue
+            if winnow.jaccard() >= 0:
+                extended = True
+                break
+            undo()
+        if not extended:
+            break
+
+    return Hit(SeqRef(qmin.seq.name, qmin.seq.is_rc, qlen),
+               st["qs"], st["qe"],
+               SeqRef(rmin.seq.name, rmin.seq.is_rc, rlen),
+               st["rs"], st["re"],
+               jaccard=winnow.jaccard(), name="", comment="OK")
+
+
+def search_in_reference_interval(query_start, query_winnow_start,
+                                 query_winnow_end, query_hash: MinimizerIndex,
+                                 ref_hash: MinimizerIndex, tree: HitTree,
+                                 same_genome, init_len, allow_extend,
+                                 report_fails, winnow: SlidingJaccard,
+                                 t_start, t_end, cfg: Config) -> list[Hit]:
+    """search.cc:263-391"""
+    assert t_start <= t_end and t_start >= 0
+    assert winnow.query_size > 0
+    filt.COUNTERS["total"] += 1
+
+    rlen = len(ref_hash.seq)
+    nr = len(ref_hash.keys)
+    ref_start = t_start
+    ref_end = min(t_start + init_len, rlen)
+    ref_winnow_start = ref_hash.find_minimizers(ref_start)
+    assert ref_winnow_start < nr
+    ref_winnow_end = ref_winnow_start
+    while (ref_winnow_end < nr
+           and ref_hash.locs[ref_winnow_end] < ref_end):
+        winnow.add_to_reference(int(ref_hash.keys[ref_winnow_end]))
+        ref_winnow_end += 1
+
+    # Roll to the best initial position (search.cc:287-315).  Reference
+    # quirks reproduced: best coords are recorded PRE-increment (one less
+    # than the window the sketch then describes), and the scan's FINAL
+    # coords feed the pre-extend filter.  Instead of copying the sketch on
+    # every improvement, we remember the round count and replay once.
+    init_state = (winnow.copy(), ref_start, ref_end,
+                  ref_winnow_start, ref_winnow_end)
+    best = (winnow.jaccard(), ref_start, ref_end,
+            ref_winnow_start, ref_winnow_end, 0)
+    steps = 0
+    while ref_start < t_end and ref_end < rlen:
+        if (ref_winnow_start < nr
+                and ref_hash.locs[ref_winnow_start] < ref_start + 1):
+            winnow.remove_from_reference(int(ref_hash.keys[ref_winnow_start]))
+            ref_winnow_start += 1
+        if (ref_winnow_end < nr
+                and ref_hash.locs[ref_winnow_end] == ref_end):
+            winnow.add_to_reference(int(ref_hash.keys[ref_winnow_end]))
+            ref_winnow_end += 1
+        steps += 1
+        if winnow.jaccard() > best[0]:
+            best = (winnow.jaccard(), ref_start, ref_end,
+                    ref_winnow_start, ref_winnow_end, steps)
+        ref_start += 1
+        ref_end += 1
+        if ref_end == rlen:
+            break
+    final_rs, final_re = ref_start, ref_end  # post-increment scan exit
+
+    # replay the initial state to the best round to recover its sketch
+    best_j, best_rs, best_re, best_rws, best_rwe, best_steps = best
+    winnow, ref_start, ref_end, ref_winnow_start, ref_winnow_end = init_state
+    for _ in range(best_steps):
+        if (ref_winnow_start < nr
+                and ref_hash.locs[ref_winnow_start] < ref_start + 1):
+            winnow.remove_from_reference(int(ref_hash.keys[ref_winnow_start]))
+            ref_winnow_start += 1
+        if (ref_winnow_end < nr
+                and ref_hash.locs[ref_winnow_end] == ref_end):
+            winnow.add_to_reference(int(ref_hash.keys[ref_winnow_end]))
+            ref_winnow_end += 1
+        ref_start += 1
+        ref_end += 1
+    if best_steps:
+        ref_start -= 1
+        ref_end -= 1
+    assert (ref_start, ref_end) == (best_rs, best_re)
+    assert winnow.jaccard() == best_j
+    assert (ref_winnow_start, ref_winnow_end) == (best_rws, best_rwe)
+
+    qlen = len(query_hash.seq)
+    qname = SeqRef(query_hash.seq.name, query_hash.seq.is_rc, qlen)
+    rname = SeqRef(ref_hash.seq.name, ref_hash.seq.is_rc, rlen)
+    hits: list[Hit] = []
+
+    if winnow.jaccard() < 0:
+        filt.COUNTERS["jaccard"] += 1
+        if report_fails:
+            hits.append(Hit(
+                qname, query_start, query_start + init_len, rname,
+                ref_start, ref_end, jaccard=winnow.jaccard(), name="",
+                comment=f"jaccard: {winnow.limit + winnow.jaccard()} < "
+                        f"{winnow.limit}"))
+    elif allow_extend:
+        if not is_overlap(tree, query_start, query_start + init_len,
+                          ref_start, ref_end, cfg):
+            # search.cc:337-338: the pre-extend filter (and its fail hit)
+            # use the scan's FINAL coordinates, not the best window.
+            ok, reason = filt.filter_hit(query_hash.seq, query_start,
+                                         query_start + init_len,
+                                         ref_hash.seq, final_rs, final_re,
+                                         cfg)
+            if not ok:
+                if report_fails:
+                    hits.append(Hit(qname, query_start,
+                                    query_start + init_len, rname,
+                                    final_rs, final_re, jaccard=0,
+                                    name="", comment=reason))
+            else:
+                h = extend(winnow, query_hash, query_start,
+                           query_start + init_len, query_winnow_start,
+                           query_winnow_end, ref_hash, ref_start, ref_end,
+                           ref_winnow_start, ref_winnow_end, same_genome,
+                           cfg)
+                ok, reason = filt.filter_hit(
+                    query_hash.seq, h.query_start, h.query_end,
+                    ref_hash.seq, h.ref_start, h.ref_end, cfg)
+                if not ok:
+                    if report_fails:
+                        h.comment = reason
+                        hits.append(h)
+                else:
+                    hits.append(h)
+                    tree.add(h.query_start, h.query_end,
+                             h.ref_start, h.ref_end)
+        else:
+            filt.COUNTERS["interval"] += 1
+    else:
+        ok, reason = filt.filter_hit(query_hash.seq, query_start,
+                                     query_start + init_len,
+                                     ref_hash.seq, ref_start, ref_end, cfg)
+        if ok or report_fails:
+            hits.append(Hit(qname, query_start, query_start + init_len,
+                            rname, ref_start, ref_end,
+                            jaccard=winnow.jaccard(), name="",
+                            comment="OK_INIT" if ok else reason))
+    return hits
+
+
+def search(query_winnow_start: int, query_hash: MinimizerIndex,
+           ref_hash: MinimizerIndex, tree: HitTree, same_genome: bool,
+           init_len: int, allow_extend: bool, report_fails: bool,
+           cfg: Config = DEFAULT) -> list[Hit]:
+    """search.cc:395-471"""
+    nq = len(query_hash.keys)
+    if query_winnow_start >= nq:
+        return []
+    query_start = int(query_hash.locs[query_winnow_start])
+    if query_start + init_len > len(query_hash.seq):
+        return []
+
+    assert query_hash.kmer_size == ref_hash.kmer_size
+    init_winnow = SlidingJaccard(query_hash.kmer_size, cfg)
+    candidates_set: set[int] = set()
+    qwe = query_winnow_start
+    while (qwe < nq
+           and query_hash.locs[qwe] - query_start <= init_len):
+        key = int(query_hash.keys[qwe])
+        init_winnow.add_to_query(key)
+        qwe += 1
+        if (cfg.internal.do_uppercase_seeds
+                and query_hash.status_of(key) != STATUS_HAS_UPPERCASE):
+            continue
+        sz = ref_hash.posting_size(key)
+        if sz == 0 or sz >= ref_hash.threshold:
+            continue
+        qloc = int(query_hash.locs[qwe - 1])
+        for pos in ref_hash.posting(key):
+            pos = int(pos)
+            if not same_genome or pos >= query_start + init_len:
+                if not tree.covers(qloc, pos):
+                    candidates_set.add(pos)
+    if not init_winnow.query_size:
+        return []
+
+    candidates = sorted(candidates_set)
+    T: list[list[int]] = []
+    limit = int(init_winnow.limit)
+    for i in range(0, len(candidates) - limit + 1):
+        j = i + limit - 1
+        if candidates[j] - candidates[i] <= init_len:
+            x = max(0, candidates[j] - init_len + 1)
+            y = candidates[i] + 1
+            if T and x < T[-1][1]:
+                T[-1][1] = max(T[-1][1], y)
+            else:
+                T.append([x, y])
+
+    hits: list[Hit] = []
+    for t in T:
+        if same_genome:
+            t[0] = max(t[0], query_start + init_len)
+        if t[0] > t[1]:
+            continue
+        hh = search_in_reference_interval(
+            query_start, query_winnow_start, qwe, query_hash, ref_hash,
+            tree, same_genome, init_len, allow_extend, report_fails,
+            init_winnow.copy(), t[0], t[1], cfg)
+        hits.extend(hh)
+
+    tree.prune(query_start - cfg.search.min_read_size)
+    return parse_hits(hits)
+
+
+def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
+                   is_same_genome: bool, cfg: Config = DEFAULT,
+                   report=None) -> list[Hit]:
+    """search_main.cc:40-82 — the per-chromosome-pair driver."""
+    tree = HitTree()
+    out: list[Hit] = []
+    next_to_attain = 0
+    min_read = cfg.search.min_read_size
+    for qi in range(len(query_hash.keys)):
+        loc = int(query_hash.locs[qi])
+        if loc < next_to_attain:
+            continue
+        if (cfg.internal.do_uppercase_seeds
+                and query_hash.status_of(int(query_hash.keys[qi]))
+                != STATUS_HAS_UPPERCASE):
+            continue
+        hits = search(qi, query_hash, ref_hash, tree, is_same_genome,
+                      min_read, True, False, cfg)
+        min_len = len(query_hash.seq)
+        for h in hits:
+            min_len = min(min_len, h.query_end - h.query_start)
+            out.append(h)
+            if report:
+                report(h)
+        next_to_attain = (loc + int(min_read * cfg.search.max_error) // 2
+                          if min_len >= min_read else loc)
+    return out

@@ -1,0 +1,438 @@
+"""Anti-diagonal wavefront affine-gap global aligner.
+
+TPU-native replacement for the reference's ksw2 ``extz2_sse`` kernel
+(``extern/ksw2_extz2_sse.cc``, called from ``src/align.cc:39-68``).  The
+reference already uses the rotated (r = i + j) difference-recurrence
+formulation with 16-lane int8 SSE; here the same recurrence runs over
+VPU lanes in a Pallas kernel, with the direction matrix streamed to HBM and
+the CIGAR backtrack performed on the host.
+
+Recurrence (difference encoding; one row per anti-diagonal r; lane t =
+target index i; query index j = r - t):
+
+    z   = s(t, r-t) + 2*(q+e)
+    a   = x[r-1][t-1] + v[r-1][t-1]
+    b   = y[r-1][t]   + u[r-1][t]
+    d   = a > z ? 1 : 0 ;  z = max(z, a)
+    d   = b > z ? 2 : d ;  z = max(z, b) ; z = min(z, match + 2*(q+e))
+    u[r][t] = z - v[r-1][t-1] ;  v[r][t] = z - u[r-1][t]
+    z' = z - q ; a' = a - z' ; b' = b - z'
+    x[r][t] = max(a', 0) ; d |= (a' > 0) << 3
+    y[r][t] = max(b', 0) ; d |= (b' > 0) << 4
+
+Boundary injections per row r: the shifted lane -1 sees (x1, v1) =
+(0, r ? q : 0); lane t == r of the previous state sees (u, y) =
+(r ? q : 0, 0).  With a full band these are the only boundary conditions;
+out-of-triangle lanes compute garbage that valid cells never read (padding
+is the wildcard code 4, scoring 0 against everything, exactly like ksw2's
+m-1 wildcard row/column).
+
+CIGAR conventions match the reference mapping ("MDI"[op], align.cc:58-64):
+'M' consumes both, 'D' consumes only the query (seq A), 'I' consumes only
+the target (seq B).  Gap placement follows ksw2's left-alignment tie-break.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT, Config
+from .dna import WILDCARD, encode_align
+
+NEG_INF = -(1 << 30)
+
+
+# ---------------------------------------------------------------------------
+# NumPy reference implementation (exact, per-diagonal vectorized)
+# ---------------------------------------------------------------------------
+
+def wavefront_np(query: np.ndarray, target: np.ndarray, match: int = 5,
+                 mis: int = -4, gapo: int = 40, gape: int = 1
+                 ) -> tuple[np.ndarray, int]:
+    """Full-band global DP; returns (direction matrix p, score).
+
+    ``query``/``target`` are alignment-alphabet codes (0..3, 4 = wildcard).
+    p has shape (qlen + tlen - 1, tlen): one row per anti-diagonal, lane =
+    target index.  Scores use int32 (identical values to the int8 SSE kernel
+    under its range invariants).
+    """
+    qlen, tlen = len(query), len(target)
+    assert qlen > 0 and tlen > 0
+    q, e = gapo, gape
+    qe = q + e
+    qe2 = 2 * qe
+    max_sc = match + qe2
+    n_diag = qlen + tlen - 1
+
+    u = np.zeros(tlen, dtype=np.int32)
+    v = np.zeros(tlen, dtype=np.int32)
+    x = np.zeros(tlen, dtype=np.int32)
+    y = np.zeros(tlen, dtype=np.int32)
+    H = np.full(tlen, NEG_INF, dtype=np.int64)
+    p = np.zeros((n_diag, tlen), dtype=np.uint8)
+    score = NEG_INF
+
+    t_idx = np.arange(tlen)
+    tq = target.astype(np.int32)
+
+    for r in range(n_diag):
+        st0 = max(0, r - qlen + 1)
+        en0 = min(r, tlen - 1)
+        # query codes per lane: qrow[t] = query[r - t] (wildcard outside)
+        j = r - t_idx
+        valid_j = (j >= 0) & (j < qlen)
+        qrow = np.where(valid_j, query[np.clip(j, 0, qlen - 1)], WILDCARD
+                        ).astype(np.int32)
+        wild = (qrow >= 4) | (tq >= 4)
+        sc = np.where(wild, 0, np.where(qrow == tq, match, mis))
+
+        # boundary injection at lane t == r (previous state)
+        if r < tlen:
+            u[r] = q if r > 0 else 0
+            y[r] = 0
+        x1 = 0
+        v1 = q if r > 0 else 0
+        xs = np.concatenate(([x1], x[:-1]))
+        vs = np.concatenate(([v1], v[:-1]))
+
+        z = sc + qe2
+        a = xs + vs
+        b = y + u
+        d = (a > z).astype(np.uint8)
+        z = np.maximum(z, a)
+        d = np.where(b > z, np.uint8(2), d)
+        z = np.maximum(z, b)
+        z = np.minimum(z, max_sc)
+        u_new = z - vs
+        v_new = z - u
+        z2 = z - q
+        a2 = a - z2
+        b2 = b - z2
+        x = np.maximum(a2, 0)
+        y = np.maximum(b2, 0)
+        d |= (a2 > 0).astype(np.uint8) << 3
+        d |= (b2 > 0).astype(np.uint8) << 4
+        u, v = u_new, v_new
+        p[r] = d
+
+        # exact H tracking (ksw2_extz2_sse.cc:222-267) for the final score
+        if r == 0:
+            H[0] = v[0] - qe - qe
+        else:
+            if en0 > 0:
+                H[en0] = H[en0 - 1] + u[en0] - qe
+            else:
+                H[en0] = H[en0] + v[en0] - qe
+            if st0 < en0:
+                H[st0:en0] += v[st0:en0] - qe
+        if r == n_diag - 1 and en0 == tlen - 1:
+            score = int(H[tlen - 1])
+    return p, score
+
+
+def backtrack_np(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:
+    """Host CIGAR backtrack from (tlen-1, qlen-1), ksw2 semantics
+    (``extern/ksw2.h:117-151``) with full band (off[r] = st0, off_end[r] =
+    en0 computed analytically)."""
+    cigar: list[tuple[str, int]] = []
+
+    def push(op: str, ln: int):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1] = (op, cigar[-1][1] + ln)
+        else:
+            cigar.append((op, ln))
+
+    i, j = tlen - 1, qlen - 1
+    state = 0
+    while i >= 0 and j >= 0:
+        r = i + j
+        st0 = max(0, r - qlen + 1)
+        en0 = min(r, tlen - 1)
+        force_state = -1
+        if i < st0:
+            force_state = 2
+        if i > en0:
+            force_state = 1
+        tmp = int(p[r, i]) if force_state < 0 else 0
+        if state == 0:
+            state = tmp & 7
+        elif not (tmp >> (state + 2)) & 1:
+            state = 0
+        if state == 0:
+            state = tmp & 7
+        if force_state >= 0:
+            state = force_state
+        if state == 0:
+            push("M", 1)
+            i -= 1
+            j -= 1
+        elif state == 1 or state == 3:
+            push("I", 1)  # consumes target (reference op idx 2 -> 'I')
+            i -= 1
+        else:
+            push("D", 1)  # consumes query  (reference op idx 1 -> 'D')
+            j -= 1
+    if i >= 0:
+        push("I", i + 1)
+    if j >= 0:
+        push("D", j + 1)
+    cigar.reverse()
+    return cigar
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape", "chunk",
+                     "interpret"))
+def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
+                           mis: int = -4, gapo: int = 40, gape: int = 1,
+                           chunk: int = 256, interpret: bool = False):
+    """Batched direction-matrix computation on TPU.
+
+    qcodes: (B, n_chunks*chunk) int32 query codes (wildcard padded) — read
+            as per-row scalars from SMEM; the per-row query vector
+            qrow[t] = query[r - t] is carried in VMEM scratch via a
+            roll-by-one + scalar insert (Mosaic only allows 128-aligned
+            dynamic lane slices, so a sliding VMEM window is not lowerable).
+    tgt:  (B, S_t) int8 target codes (wildcard padded)
+    returns p: (B, n_chunks*chunk, S_t) uint8, rows beyond
+    S_q + S_t - 1 are garbage.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = tgt.shape[0]
+    n_diag = S_q + S_t - 1
+    n_chunks = (n_diag + chunk - 1) // chunk
+    if n_chunks == 1:
+        # Workaround for a JAX interpret-mode bug: with a size-1 grid
+        # dimension, traced scalars derived from its program_id miscompare
+        # ((c*chunk + rr) > 0 evaluates True at 0).  Compiled TPU is fine,
+        # but keep >= 2 chunks so interpret-mode tests stay truthful.
+        chunk = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
+        n_chunks = (n_diag + chunk - 1) // chunk
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+
+    def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref, qrow_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+            x_ref[:] = jnp.zeros_like(x_ref)
+            y_ref[:] = jnp.zeros_like(y_ref)
+            qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
+
+        tq = tgt_ref[:].astype(jnp.int32)                  # (1, S_t)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S_t), 1)
+        UNROLL = 8  # rows per aligned output store
+
+        def one_row(r, rr):
+            q_r = qc_ref[0, rr]                            # SMEM scalar
+            qrow = jnp.where(lane == 0, q_r,
+                             pltpu.roll(qrow_ref[:], 1, axis=1))
+            qrow_ref[:] = qrow
+            wild = jnp.logical_or(qrow >= 4, tq >= 4)
+            sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
+
+            u0 = u_ref[:]
+            v0 = v_ref[:]
+            x0 = x_ref[:]
+            y0 = y_ref[:]
+            bq = jnp.where(r > 0, gapo, 0)
+            # boundary at lane t == r of previous state
+            ub = jnp.where(lane == r, bq, u0)
+            yb = jnp.where(lane == r, 0, y0)
+            # shifted x/v with (x1, v1) = (0, bq) entering at lane 0
+            xs = jnp.where(lane == 0, 0, pltpu.roll(x0, 1, axis=1))
+            vs = jnp.where(lane == 0, bq, pltpu.roll(v0, 1, axis=1))
+
+            z = sc + qe2
+            a = xs + vs
+            b = yb + ub
+            d = (a > z).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b > z, 2, d)
+            z = jnp.maximum(z, b)
+            z = jnp.minimum(z, max_sc)
+            u_ref[:] = z - vs
+            v_ref[:] = z - ub
+            z2 = z - gapo
+            a2 = a - z2
+            b2 = b - z2
+            x_ref[:] = jnp.maximum(a2, 0)
+            y_ref[:] = jnp.maximum(b2, 0)
+            # int32 bit assembly (i8 vector shifts don't lower on Mosaic)
+            d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+            return d.astype(jnp.uint8)  # (1, S_t)
+
+        def body(kk, _):
+            # UNROLL rows per step so the output store lands on an
+            # 8-row-aligned sublane offset (Mosaic vector-store constraint)
+            base = kk * UNROLL
+            rows = [one_row(c * chunk + base + j, base + j)
+                    for j in range(UNROLL)]
+            blk = jnp.concatenate(rows, axis=0)            # (UNROLL, S_t)
+            out_ref[0, pl.ds(pl.multiple_of(base, UNROLL), UNROLL), :] = blk
+            return 0
+
+        jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda b, c: (b, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S_t), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, S_t), lambda b, c: (b, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_chunks * chunk, S_t), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((1, S_t), jnp.int32),
+            pltpu.VMEM((1, S_t), jnp.int32),
+            pltpu.VMEM((1, S_t), jnp.int32),
+            pltpu.VMEM((1, S_t), jnp.int32),
+            pltpu.VMEM((1, S_t), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qcodes, tgt)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# High-level batched API
+# ---------------------------------------------------------------------------
+
+SIZE_CLASSES = (128, 256, 512, 1024, 2048)
+
+
+def _pad_to_class(n: int) -> int:
+    for s in SIZE_CLASSES:
+        if n <= s:
+            return s
+    return ((n + 2047) // 2048) * 2048
+
+
+def _padded_rows(S_q: int, S_t: int, chunk: int = 256) -> int:
+    """Row count of the kernel output, mirroring the chunk adjustment in
+    ``wavefront_pallas_batch``."""
+    n_diag = S_q + S_t - 1
+    n_chunks = (n_diag + chunk - 1) // chunk
+    if n_chunks == 1:
+        chunk = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
+        n_chunks = (n_diag + chunk - 1) // chunk
+    return n_chunks * chunk
+
+
+class WavefrontAligner:
+    """Batched global aligner with host traceback.
+
+    ``use_tpu=None`` auto-selects: Pallas on TPU backends, NumPy elsewhere.
+    ``interpret=True`` forces the Pallas path in interpreter mode (CPU
+    testing of the kernel itself).
+    """
+
+    def __init__(self, cfg: Config = DEFAULT, use_tpu: bool | None = None,
+                 interpret: bool = False):
+        self.cfg = cfg
+        self.match = cfg.align.match
+        self.mis = cfg.align.mismatch          # negative
+        self.gapo = -cfg.align.gap_open        # positive 40
+        self.gape = -cfg.align.gap_extend      # positive 1
+        if use_tpu is None:
+            use_tpu = jax.default_backend() not in ("cpu",)
+        self.use_tpu = use_tpu or interpret
+        self.interpret = interpret
+
+    def align_codes(self, query: np.ndarray, target: np.ndarray
+                    ) -> list[tuple[str, int]]:
+        """Global alignment of one pair of code arrays -> CIGAR list."""
+        return self.align_batch([(query, target)])[0]
+
+    def align_batch(self, pairs: list[tuple[np.ndarray, np.ndarray]]
+                    ) -> list[list[tuple[str, int]]]:
+        """Align many (query, target) code pairs; batches same-class sizes."""
+        results: list[list[tuple[str, int]] | None] = [None] * len(pairs)
+        if not self.use_tpu:
+            for idx, (qc, tc) in enumerate(pairs):
+                if len(qc) == 0 or len(tc) == 0:
+                    results[idx] = _degenerate_cigar(len(qc), len(tc))
+                    continue
+                p, _ = wavefront_np(qc, tc, self.match, self.mis,
+                                    self.gapo, self.gape)
+                results[idx] = backtrack_np(p, len(qc), len(tc))
+            return results
+
+        # group by (S_q, S_t) size class
+        groups: dict[tuple[int, int], list[int]] = {}
+        for idx, (qc, tc) in enumerate(pairs):
+            if len(qc) == 0 or len(tc) == 0:
+                results[idx] = _degenerate_cigar(len(qc), len(tc))
+                continue
+            key = (_pad_to_class(len(qc)), _pad_to_class(len(tc)))
+            groups.setdefault(key, []).append(idx)
+
+        for (S_q, S_t), idxs in groups.items():
+            B = len(idxs)
+            n_rows = _padded_rows(S_q, S_t)
+            qcodes = np.full((B, n_rows), WILDCARD, dtype=np.int32)
+            tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
+            for bi, idx in enumerate(idxs):
+                qc, tc = pairs[idx]
+                qcodes[bi, :len(qc)] = qc
+                tgts[bi, :len(tc)] = tc
+            p_all = np.asarray(wavefront_pallas_batch(
+                jnp.asarray(qcodes), jnp.asarray(tgts), S_q, S_t,
+                self.match, self.mis, self.gapo, self.gape,
+                interpret=self.interpret))
+            for bi, idx in enumerate(idxs):
+                qc, tc = pairs[idx]
+                results[idx] = backtrack_np(p_all[bi], len(qc), len(tc))
+        return results
+
+    def align_strings(self, a: str, b: str) -> list[tuple[str, int]]:
+        """Chunked global alignment of raw strings, reproducing the
+        reference's 60 Kbp diagonal chunking (``align.cc:46-66``)."""
+        max_len = self.cfg.align.max_ksw_seq_len
+        qc_full = encode_align(a)
+        tc_full = encode_align(b)
+        cigar: list[tuple[str, int]] = []
+        sp = 0
+        min_len = min(len(a), len(b))
+        # NOTE: like the reference (align.cc:46-47), when min_len == 0 the
+        # loop body never runs and the CIGAR is empty; tails of the longer
+        # sequence past the final chunk are likewise not consumed.
+        while sp < min_len:
+            qc = qc_full[sp:sp + max_len]
+            tc = tc_full[sp:sp + max_len]
+            part = self.align_codes(qc, tc)
+            for op, ln in part:
+                if cigar and cigar[-1][0] == op:
+                    cigar[-1] = (op, cigar[-1][1] + ln)
+                else:
+                    cigar.append((op, ln))
+            sp += max_len
+        return cigar
+
+
+def _degenerate_cigar(qlen: int, tlen: int) -> list[tuple[str, int]]:
+    out = []
+    if qlen:
+        out.append(("D", qlen))
+    if tlen:
+        out.append(("I", tlen))
+    return out

@@ -1,4 +1,5 @@
 import os
+import pathlib as _pl
 
 # Force an 8-device virtual CPU mesh for all tests: sharding/multi-chip code
 # paths must compile and run without TPU hardware.
@@ -7,6 +8,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: interpret-mode pallas kernels compile slowly
+# through this environment's remote compile service (~minutes); cache hits
+# bring re-runs to milliseconds.
+_cache = _pl.Path(__file__).resolve().parent.parent / ".cache" / "jax"
+_cache.mkdir(parents=True, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import pathlib
 

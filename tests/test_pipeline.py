@@ -1,0 +1,120 @@
+"""End-to-end pipeline on a synthetic soft-masked genome, and the
+simulation-based accuracy harness (the reference's own QA model,
+paper/output-rand.txt semantics at reduced scale)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sedef_tpu.config import Config
+from sedef_tpu.models.pipeline import canonical_sort_uniq, run_pipeline
+from sedef_tpu.models.simulate import classify_pair, generate_random_sd
+from sedef_tpu.ops.wavefront import WavefrontAligner
+
+
+def _make_genome(tmp_path, rng):
+    """One chromosome: lowercase background with two uppercase ~2.5 kbp
+    duplicate segments (~4% mutations) planted at known positions."""
+    bases = np.array(list("acgt"))
+    bg = rng.choice(bases, 30000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 2500))
+    seg2 = list(seg)
+    mut = rng.random(len(seg2)) < 0.04
+    ACGT = list("ACGT")
+    for i in np.nonzero(mut)[0]:
+        seg2[i] = ACGT[(ACGT.index(seg2[i]) + int(rng.integers(1, 4))) % 4]
+    seg2 = "".join(seg2)
+    chrom = ("".join(bg[:5000]) + seg + "".join(bg[5000:15000]) + seg2
+             + "".join(bg[15000:]))
+    pos1 = (5000, 5000 + len(seg))
+    pos2 = (5000 + len(seg) + 10000, 5000 + len(seg) + 10000 + len(seg2))
+    fa = tmp_path / "toy.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, len(chrom), 60):
+            f.write(chrom[i:i + 60] + "\n")
+    return str(fa), pos1, pos2
+
+
+def _overlap(a, b):
+    return max(0, min(a[1], b[1]) - max(a[0], b[0]))
+
+
+def test_pipeline_finds_planted_duplication(tmp_path):
+    rng = np.random.default_rng(11)
+    fa, pos1, pos2 = _make_genome(tmp_path, rng)
+    out = run_pipeline(fa, str(tmp_path / "out"), nbuckets=4,
+                       aligner=WavefrontAligner(use_tpu=False))
+    final = open(out["final"]).read().splitlines()
+    assert final[0].startswith("#chr1\t")
+    rows = [l.split("\t") for l in final[1:]]
+    assert rows, "no final SD calls"
+    found = False
+    for f in rows:
+        assert len(f) == 34, f"expected 34 columns, got {len(f)}"
+        q = (int(f[1]), int(f[2]))
+        r = (int(f[4]), int(f[5]))
+        cov_q = _overlap(q, pos1) / (pos1[1] - pos1[0])
+        cov_r = _overlap(r, pos2) / (pos2[1] - pos2[0])
+        if cov_q > 0.8 and cov_r > 0.8:
+            found = True
+            # sanity of the stats columns
+            frac_match = float(f[20])
+            assert 0.90 < frac_match < 1.0
+            assert f[8] == "+" and f[9] == "+"
+    assert found, f"planted pair not found in: {final[1:]}"
+    # seeds and aligned intermediates exist and are non-trivial
+    assert open(out["seeds"]).read().strip()
+    assert open(out["aligned"]).read().strip()
+
+
+def test_pipeline_finds_inverted_duplication(tmp_path):
+    """Reverse-complement (strand '-') duplications must be detected too."""
+    from sedef_tpu.ops.dna import revcomp
+    rng = np.random.default_rng(5)
+    bases = np.array(list("acgt"))
+    bg = rng.choice(bases, 24000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 2200))
+    chrom = ("".join(bg[:4000]) + seg + "".join(bg[4000:12000])
+             + revcomp(seg) + "".join(bg[12000:]))
+    fa = tmp_path / "inv.fa"
+    with open(fa, "w") as f:
+        f.write(">chrI\n")
+        for i in range(0, len(chrom), 80):
+            f.write(chrom[i:i + 80] + "\n")
+    out = run_pipeline(str(fa), str(tmp_path / "out"), nbuckets=2,
+                       aligner=WavefrontAligner(use_tpu=False))
+    rows = [l.split("\t") for l in
+            open(out["final"]).read().splitlines()[1:]]
+    assert any(f[9] == "-" for f in rows), "inverted SD not called"
+
+
+def test_canonical_sort_uniq():
+    lines = [
+        "chr10\t5\t9\tchr2\t1\t2\tx\t\t+\t-\t0\t0\t\t",
+        "chr2\t5\t9\tchr2\t1\t2\tx\t\t+\t+\t0\t0\t\t",
+        "chr2\t5\t9\tchr2\t1\t2\tx\t\t+\t+\t0\t0\t\t",  # dup
+        "chr2\t3\t9\tchr2\t1\t2\tx\t\t+\t-\t0\t0\t\t",
+    ]
+    out = canonical_sort_uniq(lines)
+    assert len(out) == 3
+    # chr2 before chr10 (version sort); '-' strand before '+' (reverse)
+    assert out[0].startswith("chr2\t3")
+    assert out[1].startswith("chr2\t5")
+    assert out[2].startswith("chr10")
+
+
+@pytest.mark.parametrize("error", [0, 10, 25])
+def test_simulation_accuracy(error):
+    """Reduced-scale port of the reference accuracy harness
+    (simulations.py + paper/output-rand.txt: >=99% hits at every error
+    rate).  5 pairs per rate at 1-6 Kbp keeps CI fast."""
+    rng = random.Random(100 + error)
+    al = WavefrontAligner(use_tpu=False)
+    results = []
+    for _ in range(5):
+        s1, s2, _ = generate_random_sd(rng, error, min_len=1200,
+                                       max_len=6000)
+        results.append(classify_pair(s1, s2, error, aligner=al))
+    assert results.count("hit") >= 4, results

@@ -1,0 +1,119 @@
+"""Wavefront aligner vs the real ksw2 extz2_sse kernel (fixtures) and the
+Pallas kernel vs the NumPy reference."""
+
+import numpy as np
+import pytest
+
+from sedef_tpu.ops.wavefront import (WavefrontAligner, _padded_rows,
+                                     backtrack_np, wavefront_np,
+                                     wavefront_pallas_batch)
+
+
+def _load_pairs(path):
+    lines = path.read_text().splitlines()
+    out = []
+    i = 0
+    while i < len(lines):
+        tag, qlen, tlen, score = lines[i].split()
+        assert tag == "PAIR"
+        q = np.array([int(c) for c in lines[i + 1]], dtype=np.int8)
+        t = np.array([int(c) for c in lines[i + 2]], dtype=np.int8)
+        out.append((q, t, int(score), lines[i + 3]))
+        i += 4
+    return out
+
+
+def _cigar_str(cigar):
+    return "".join(f"{ln}{op}" for op, ln in cigar)
+
+
+def _cigar_score(cigar, q, t, match=5, mis=-4, gapo=40, gape=1):
+    """Score a CIGAR under the ksw2 model (wildcard code 4 scores 0)."""
+    s = 0
+    qi = ti = 0
+    for op, ln in cigar:
+        if op == "M":
+            for _ in range(ln):
+                a, b = q[qi], t[ti]
+                s += 0 if (a >= 4 or b >= 4) else (match if a == b else mis)
+                qi += 1
+                ti += 1
+        else:
+            s -= gapo + gape * ln
+            if op == "D":
+                qi += ln
+            else:
+                ti += ln
+    assert qi == len(q) and ti == len(t), "CIGAR must consume both sequences"
+    return s
+
+
+@pytest.mark.parametrize("name", ["ksw2_pairs_1", "ksw2_pairs_2"])
+def test_numpy_matches_ksw2(fixtures_dir, name):
+    pairs = _load_pairs(fixtures_dir / f"{name}.txt")
+    assert pairs
+    for q, t, score, cigar_ref in pairs:
+        p, sc = wavefront_np(q, t)
+        cig = backtrack_np(p, len(q), len(t))
+        assert sc == score, f"score {sc} != ksw2 {score}"
+        assert _cigar_str(cig) == cigar_ref
+
+
+def test_pallas_interpret_matches_numpy():
+    rng = np.random.default_rng(0)
+    pairs = []
+    for _ in range(4):
+        ql, tl = rng.integers(20, 120, 2)
+        q = rng.integers(0, 4, ql).astype(np.int8)
+        t = q[:tl].copy() if tl <= ql else np.concatenate(
+            [q, rng.integers(0, 4, tl - ql)]).astype(np.int8)
+        mut = rng.random(tl) < 0.1
+        t[mut] = rng.integers(0, 4, mut.sum())
+        pairs.append((q, t))
+
+    al = WavefrontAligner(interpret=True)
+    # align one pair at a time: every call shares the same (B=1, 128, 128)
+    # compiled shape, so the (slow, remote) interpret compile happens once
+    # per test session
+    got = [al.align_batch([p])[0] for p in pairs]
+    for (q, t), cig in zip(pairs, got):
+        p, sc = wavefront_np(q, t)
+        expect = backtrack_np(p, len(q), len(t))
+        assert cig == expect
+        assert _cigar_score(cig, q, t) == sc
+
+
+def test_pallas_direction_rows_match_numpy():
+    rng = np.random.default_rng(3)
+    ql, tl = 100, 90
+    q = rng.integers(0, 4, ql).astype(np.int8)
+    t = rng.integers(0, 4, tl).astype(np.int8)
+    S_q = S_t = 128
+    qcodes = np.full((1, _padded_rows(S_q, S_t)), 4, dtype=np.int32)
+    qcodes[0, :ql] = q
+    tpad = np.full((1, S_t), 4, dtype=np.int8)
+    tpad[0, :tl] = t
+    p_dev = np.asarray(wavefront_pallas_batch(
+        qcodes, tpad, S_q, S_t, interpret=True))[0]
+    p_ref, _ = wavefront_np(q, t)
+    # compare only the valid triangle lanes of the real problem
+    for r in range(ql + tl - 1):
+        st0, en0 = max(0, r - ql + 1), min(r, tl - 1)
+        np.testing.assert_array_equal(
+            p_dev[r, st0:en0 + 1], p_ref[r, st0:en0 + 1],
+            err_msg=f"row {r}")
+
+
+def test_chunked_strings():
+    # exercise align_strings chunking with a tiny max_ksw_seq_len
+    from sedef_tpu.config import Config
+    cfg = Config().finalize()
+    cfg.align.max_ksw_seq_len = 64
+    al = WavefrontAligner(cfg=cfg, use_tpu=False)
+    rng = np.random.default_rng(1)
+    s = "".join(rng.choice(list("ACGT"), 150))
+    cig = al.align_strings(s, s)
+    # self-alignment in two chunks -> all M, consuming 150 each
+    assert sum(ln for op, ln in cig if op != "I") == 150
+    assert sum(ln for op, ln in cig if op != "D") == 150
+    assert all(op == "M" for op, ln in cig)
