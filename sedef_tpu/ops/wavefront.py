@@ -202,7 +202,10 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             qrow[t] = query[r - t] is carried in VMEM scratch via a
             roll-by-one + scalar insert (Mosaic only allows 128-aligned
             dynamic lane slices, so a sliding VMEM window is not lowerable).
-    tgt:  (B, S_t) int8 target codes (wildcard padded)
+            Internally reshaped to (B, n_chunks, chunk) so the SMEM block's
+            last two dims equal the array dims (Mosaic block-shape rule).
+    tgt:  (B, S_t) int8 target codes (wildcard padded); reshaped to
+          (B, 1, S_t) internally for the same block-shape rule
     returns p: (B, n_chunks*chunk, S_t) uint8, rows beyond
     S_q + S_t - 1 are garbage.
     """
@@ -224,6 +227,7 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
     max_sc = match + qe2
 
     def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref, qrow_ref):
+        # qc_ref: (1, n_chunks, chunk) SMEM scalars
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -234,12 +238,12 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             y_ref[:] = jnp.zeros_like(y_ref)
             qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
 
-        tq = tgt_ref[:].astype(jnp.int32)                  # (1, S_t)
+        tq = tgt_ref[0].astype(jnp.int32)                  # (1, S_t)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, S_t), 1)
         UNROLL = 8  # rows per aligned output store
 
         def one_row(r, rr):
-            q_r = qc_ref[0, rr]                            # SMEM scalar
+            q_r = qc_ref[0, c, rr]                         # SMEM scalar
             qrow = jnp.where(lane == 0, q_r,
                              pltpu.roll(qrow_ref[:], 1, axis=1))
             qrow_ref[:] = qrow
@@ -293,9 +297,9 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
         kernel,
         grid=(B, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda b, c: (b, c),
+            pl.BlockSpec((1, n_chunks, chunk), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S_t), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, S_t), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, chunk, S_t), lambda b, c: (b, c, 0),
@@ -309,8 +313,64 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             pltpu.VMEM((1, S_t), jnp.int32),
         ],
         interpret=interpret,
-    )(qcodes, tgt)
+    )(qcodes.reshape(qcodes.shape[0], n_chunks, chunk),
+      tgt.reshape(tgt.shape[0], 1, S_t))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX scan variant (compiles on any backend; perf baseline for Pallas)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape"))
+def wavefront_scan_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
+                         mis: int = -4, gapo: int = 40, gape: int = 1):
+    """Same recurrence as the Pallas kernel via vmapped ``lax.scan`` over
+    anti-diagonals.  qcodes: (B, >= S_q+S_t-1) int32; tgt: (B, S_t) int8.
+    Returns p: (B, S_q + S_t - 1, S_t) uint8."""
+    qe2 = 2 * (gapo + gape)
+    max_sc = match + qe2
+    n_diag = S_q + S_t - 1
+    lane = jnp.arange(S_t, dtype=jnp.int32)
+
+    def one(qc, tq):
+        tq = tq.astype(jnp.int32)
+
+        def step(carry, r):
+            u0, v0, x0, y0, qrow_prev = carry
+            qrow = jnp.where(lane == 0, qc[r], jnp.roll(qrow_prev, 1))
+            wild = (qrow >= 4) | (tq >= 4)
+            sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
+            bq = jnp.where(r > 0, gapo, 0)
+            ub = jnp.where(lane == r, bq, u0)
+            yb = jnp.where(lane == r, 0, y0)
+            xs = jnp.where(lane == 0, 0, jnp.roll(x0, 1))
+            vs = jnp.where(lane == 0, bq, jnp.roll(v0, 1))
+            z = sc + qe2
+            a = xs + vs
+            b = yb + ub
+            d = (a > z).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b > z, 2, d)
+            z = jnp.maximum(z, b)
+            z = jnp.minimum(z, max_sc)
+            un = z - vs
+            vn = z - ub
+            z2 = z - gapo
+            a2 = a - z2
+            b2 = b - z2
+            xn = jnp.maximum(a2, 0)
+            yn = jnp.maximum(b2, 0)
+            d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+            return (un, vn, xn, yn, qrow), d.astype(jnp.uint8)
+
+        init = tuple(jnp.zeros(S_t, jnp.int32) for _ in range(4)) + (
+            jnp.full(S_t, WILDCARD, jnp.int32),)
+        _, rows = jax.lax.scan(step, init, jnp.arange(n_diag))
+        return rows
+
+    return jax.vmap(one)(qcodes, tgt)
 
 
 # ---------------------------------------------------------------------------

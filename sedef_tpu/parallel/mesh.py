@@ -1,0 +1,136 @@
+"""Multi-chip device-mesh execution of the batched compute step.
+
+The reference scales by fanning ~n(n+1) independent chromosome-pair
+processes over cores via GNU Parallel with the filesystem as the collective
+(SURVEY §2.2 P1/C1; ``sedef.sh:133-140``).  The TPU-native equivalent:
+
+* a 2-D ``jax.sharding.Mesh`` with axes ("pairs", "data") — chromosome-pair
+  jobs shard over "pairs", each job's batched windows/DP problems shard
+  over "data";
+* the per-step compute (q-gram filter scoring + wavefront DP) runs under
+  ``shard_map`` with XLA collectives: ``psum`` for the global funnel
+  counters (the reference's TOTAL/JACCARD/... tallies, search.cc:29-31)
+  and an ``all_gather`` for per-shard hit counts, riding ICI;
+* hosts exchange candidate-hit tensors only at stage barriers (DCN), which
+  single-host deployments never hit.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.filter import QG, QSZ
+from ..ops.wavefront import (_padded_rows, wavefront_pallas_batch,
+                             wavefront_scan_batch)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    """2-D mesh over available devices: ("pairs", "data")."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    # squarest 2-D factorization
+    p = int(np.floor(np.sqrt(n_devices)))
+    while n_devices % p:
+        p -= 1
+    return jax.make_mesh((p, n_devices // p), ("pairs", "data"),
+                         devices=devs)
+
+
+def qgram_scores(codes_a: jax.Array, codes_b: jax.Array) -> jax.Array:
+    """Batched shared-q-gram counts: (..., W) uint8 code windows ->
+    (...,) int32 shared 5-gram histogram intersection (filter.cc:55-91
+    as a segment-sum over 1024 bins)."""
+    W = codes_a.shape[-1]
+    n = W - QG + 1
+
+    def grams(c):
+        g = jnp.zeros(c.shape[:-1] + (n,), jnp.int32)
+        for j in range(QG):
+            g = (g << 2) | jax.lax.dynamic_slice_in_dim(
+                c.astype(jnp.int32), j, n, axis=-1)
+        return g
+
+    ga = grams(codes_a)
+    gb = grams(codes_b)
+
+    def hist(g):
+        lead = g.shape[:-1]
+        flat = g.reshape(-1, g.shape[-1])
+        h = jax.vmap(lambda x: jnp.zeros(QSZ, jnp.int32).at[x].add(1))(flat)
+        return h.reshape(lead + (QSZ,))
+
+    return jnp.minimum(hist(ga), hist(gb)).sum(axis=-1)
+
+
+def build_multichip_step(mesh: Mesh, S_q: int, S_t: int,
+                         use_pallas: bool | None = None):
+    """The full sharded compute step: q-gram gate -> wavefront DP ->
+    collective funnel reduction.  Inputs are globally shaped
+    (P_pairs, D_data, B, ...) and sharded over the first two axes."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    n_rows = S_q + S_t - 1
+
+    def local_step(qcodes, tgt, win_a, win_b, minqg):
+        # qcodes: (1, 1, B, n_rows) local shard; squeeze mesh dims
+        qcodes = qcodes.reshape(qcodes.shape[2:])
+        tgt = tgt.reshape(tgt.shape[2:])
+        win_a = win_a.reshape(win_a.shape[2:])
+        win_b = win_b.reshape(win_b.shape[2:])
+
+        qg = qgram_scores(win_a, win_b)                  # (B,)
+        passed = qg >= minqg.reshape(())
+
+        if use_pallas:
+            p = wavefront_pallas_batch(qcodes, tgt, S_q, S_t)
+        else:
+            p = wavefront_scan_batch(qcodes, tgt, S_q, S_t)
+        p = p[:, :n_rows]
+        # per-problem proxy statistic: matched-diagonal cells
+        mcells = ((p & 7) == 0).sum(axis=(1, 2)).astype(jnp.int32)
+
+        # global funnel counters over the whole mesh (ICI psum)
+        total = jax.lax.psum(jnp.int32(qg.shape[0]), ("pairs", "data"))
+        total_passed = jax.lax.psum(passed.sum().astype(jnp.int32),
+                                    ("pairs", "data"))
+        # per-shard hit counts gathered along the data axis
+        counts = jax.lax.all_gather(passed.sum().astype(jnp.int32),
+                                    "data")
+        return (p[None, None], mcells[None, None], qg[None, None],
+                total, total_passed, counts[None])
+
+    from jax.experimental.shard_map import shard_map
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("pairs", "data"), P("pairs", "data"),
+                  P("pairs", "data"), P("pairs", "data"), P()),
+        out_specs=(P("pairs", "data"), P("pairs", "data"),
+                   P("pairs", "data"), P(), P(), P("pairs", None)),
+        check_rep=False)
+    return jax.jit(step)
+
+
+def example_inputs(mesh: Mesh, S_q: int = 128, S_t: int = 128, B: int = 2,
+                   W: int = 128, seed: int = 0):
+    """Tiny sharded inputs for one step on the given mesh."""
+    pp, dd = mesh.devices.shape
+    rng = np.random.default_rng(seed)
+    n_rows = _padded_rows(S_q, S_t)
+    qcodes = rng.integers(0, 4, (pp, dd, B, n_rows)).astype(np.int32)
+    tgt = rng.integers(0, 4, (pp, dd, B, S_t)).astype(np.int8)
+    win_a = rng.integers(0, 4, (pp, dd, B, W)).astype(np.uint8)
+    win_b = win_a.copy()
+    flip = rng.random(win_b.shape) < 0.1
+    win_b[flip] = rng.integers(0, 4, int(flip.sum()))
+    minqg = np.int32(10)
+    shard = NamedSharding(mesh, P("pairs", "data"))
+    return (jax.device_put(qcodes, shard), jax.device_put(tgt, shard),
+            jax.device_put(win_a, shard), jax.device_put(win_b, shard),
+            jnp.int32(minqg))

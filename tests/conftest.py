@@ -2,12 +2,18 @@ import os
 import pathlib as _pl
 
 # Force an 8-device virtual CPU mesh for all tests: sharding/multi-chip code
-# paths must compile and run without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# paths must compile and run without TPU hardware.  NOTE: this environment
+# exports JAX_PLATFORMS=axon and the plugin wins over a plain env override,
+# so the platform is forced programmatically below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: interpret-mode pallas kernels compile slowly
 # through this environment's remote compile service (~minutes); cache hits
