@@ -438,8 +438,37 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
 
 def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                    is_same_genome: bool, cfg: Config = DEFAULT,
-                   report=None) -> list[Hit]:
-    """search_main.cc:40-82 — the per-chromosome-pair driver."""
+                   report=None, use_native: bool | None = None) -> list[Hit]:
+    """search_main.cc:40-82 — the per-chromosome-pair driver.
+
+    Dispatches to the C++ native core (native/native.cc sedef_search —
+    parity-tested against this implementation) unless disabled."""
+    if use_native is None:
+        import os
+        use_native = os.environ.get("SEDEF_NO_NATIVE", "") == ""
+    if use_native:
+        try:
+            from ..native import lib as _native
+        except Exception:  # pragma: no cover
+            _native = None
+        if _native is not None and _native.has("search"):
+            rows = _native.search(query_hash, ref_hash, is_same_genome, cfg)
+            qref = SeqRef(query_hash.seq.name, query_hash.seq.is_rc,
+                          len(query_hash.seq))
+            rref = SeqRef(ref_hash.seq.name, ref_hash.seq.is_rc,
+                          len(ref_hash.seq))
+            out = []
+            for qs, qe, rs, re_, jac in rows:
+                h = Hit(SeqRef(qref.name, qref.is_rc, qref.length),
+                        int(qs), int(qe),
+                        SeqRef(rref.name, rref.is_rc, rref.length),
+                        int(rs), int(re_), jaccard=int(jac), name="",
+                        comment="OK")
+                out.append(h)
+                if report:
+                    report(h)
+            return out
+
     tree = HitTree()
     out: list[Hit] = []
     next_to_attain = 0

@@ -1,0 +1,942 @@
+// SPDX-License-Identifier: MIT
+// Native host runtime for the TPU-native SD engine.
+//
+// C++ implementations of the sequential host-side hot paths, mirroring the
+// (oracle-validated) Python modules exactly:
+//   * sedef_winnow     — the quirky change-point scan of ops/winnow.py
+//   * sedef_search     — stage-1 seed search of models/seeder.py
+//                        (sliding-Jaccard sketch, candidate clustering,
+//                        window rolling, 3-mode extension, tree dedup,
+//                        uppercase/q-gram filters)
+//   * sedef_chain      — anchor chaining DP of ops/chain.py
+//   * sedef_backtrack  — wavefront CIGAR traceback of ops/wavefront.py
+//
+// The compute kernels (wavefront DP, batched scoring) stay on the TPU; this
+// library replaces only the pointer-chasing host loops where Python is the
+// bottleneck.  Build: python -m sedef_tpu.native.build
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Winnowing change-point scan (ops/winnow.py change_points_np)
+// ---------------------------------------------------------------------------
+
+// keys: packed (status, hash) per k-mer position.  Emits indices where the
+// reference deque's front changes: key[p] <= min(key[max(q, p-w) .. p-1]).
+int64_t sedef_winnow(const int64_t *keys, int64_t n, int w, int64_t *out) {
+  if (n <= 0) return 0;
+  int64_t cnt = 0;
+  out[cnt++] = 0;
+  int64_t q = 0;
+  int64_t m = keys[0];
+  // monotonic deque over the last w keys for the sliding window minimum
+  std::vector<int64_t> dq_idx(n ? (size_t)std::min<int64_t>(n, w + 2) : 1);
+  int head = 0, tail = 0;  // [head, tail)
+  auto dq_push = [&](int64_t i) {
+    while (tail > head && keys[dq_idx[(tail - 1) % dq_idx.size()]] >= keys[i])
+      tail--;
+    dq_idx[tail % dq_idx.size()] = i;
+    tail++;
+  };
+  auto dq_front_expire = [&](int64_t lo) {
+    while (tail > head && dq_idx[head % dq_idx.size()] < lo) head++;
+  };
+  // W[p] = min(keys[p-w .. p-1]); maintain deque over that window
+  for (int64_t p = 1; p < n; p++) {
+    dq_push(p - 1);
+    dq_front_expire(p - w);
+    int64_t kp = keys[p];
+    int64_t bound;
+    if (q > p - w) {
+      bound = m;
+    } else {
+      bound = keys[dq_idx[head % dq_idx.size()]];
+    }
+    if (kp <= bound) {
+      out[cnt++] = p;
+      q = p;
+      m = kp;
+    } else if (kp < m) {
+      m = kp;
+    }
+  }
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// Sliding-Jaccard sketch (ops/sliding.py SlidingJaccard)
+// ---------------------------------------------------------------------------
+
+struct Sketch {
+  std::map<int64_t, char> store;
+  std::map<int64_t, char>::iterator bnd;  // == end() when query empty
+  int query_size = 0;
+  int intersection = 0;
+  int limit = 0;
+  double tau_k;    // tau(MAX_EDIT_ERROR, k)
+  int n_shift;     // 2*k, for the HAS_N status test
+
+  explicit Sketch(double tau_k_, int n_shift_)
+      : tau_k(tau_k_), n_shift(n_shift_) {
+    bnd = store.end();
+  }
+
+  // the boundary iterator must be re-seated into the copied map
+  Sketch(const Sketch &o)
+      : store(o.store), query_size(o.query_size),
+        intersection(o.intersection), limit(o.limit), tau_k(o.tau_k),
+        n_shift(o.n_shift) {
+    bnd = (o.bnd == o.store.end()) ? store.end() : store.find(o.bnd->first);
+  }
+
+  Sketch &operator=(const Sketch &o) {
+    if (this == &o) return *this;
+    store = o.store;
+    query_size = o.query_size;
+    intersection = o.intersection;
+    limit = o.limit;
+    tau_k = o.tau_k;
+    n_shift = o.n_shift;
+    bnd = (o.bnd == o.store.end()) ? store.end() : store.find(o.bnd->first);
+    return *this;
+  }
+
+  int limit_for(int s) const {
+    if (s <= 0) return 0;
+    if (s == 1) return 1;
+    return (int)std::ceil(s * tau_k) + 1;
+  }
+
+  int jaccard() const {
+    return intersection >= limit ? intersection : intersection - limit;
+  }
+
+  bool add(int64_t h, int bit) {
+    auto it = store.lower_bound(h);
+    bool inserted = false;
+    if (it != store.end() && it->first == h) {
+      if (it->second & bit) return false;
+      it->second |= (char)bit;
+    } else {
+      it = store.insert(it, {h, (char)bit});
+      inserted = true;
+    }
+    if (query_size && it->first < bnd->first) {
+      intersection += (it->second == 3);
+      if (inserted) {
+        intersection -= (bnd->second == 3);
+        --bnd;
+      }
+    }
+    return true;
+  }
+
+  bool remove(int64_t h, int bit) {
+    auto it = store.lower_bound(h);
+    if (it == store.end() || it->first != h || !(it->second & bit))
+      return false;
+    if (query_size && it->first <= bnd->first) {
+      intersection -= (it->second == 3);
+      if (it->second == bit) {
+        ++bnd;
+        if (bnd != store.end()) intersection += (bnd->second == 3);
+      }
+    }
+    if (it->second == bit) {
+      store.erase(it);
+    } else {
+      it->second &= (char)~bit;
+    }
+    return true;
+  }
+
+  void add_query(int64_t h) {
+    if (!add(h, 1)) return;
+    limit = limit_for(++query_size);
+    if (bnd == store.end()) bnd = store.begin();
+    else ++bnd;
+    intersection += (bnd->second == 3);
+  }
+
+  void remove_query(int64_t h) {
+    if (!remove(h, 1)) return;
+    limit = limit_for(--query_size);
+    if (bnd != store.end()) intersection -= (bnd->second == 3);
+    if (bnd == store.begin()) bnd = store.end();
+    else --bnd;
+  }
+
+  bool has_n(int64_t h) const { return (h >> n_shift) == 2; }
+
+  void add_ref(int64_t h) {
+    if (!has_n(h)) add(h, 2);
+  }
+  void remove_ref(int64_t h) {
+    if (!has_n(h)) remove(h, 2);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Stage-1 seed search (models/seeder.py)
+// ---------------------------------------------------------------------------
+
+struct IndexView {
+  const int64_t *keys;   // minimizer keys, locus order
+  const int32_t *locs;
+  int64_t nmin;
+  const int64_t *skeys;  // keys sorted
+  const int32_t *slocs;  // loci in skeys order
+  int64_t threshold;
+  const uint8_t *cls;    // per-base class (0 up, 1 low, 2 N)
+  const uint8_t *code;   // per-base 2-bit code
+  int64_t len;
+
+  int find_minimizers(int32_t p) const {
+    return (int)(std::lower_bound(locs, locs + nmin, p) - locs);
+  }
+  // posting range for a key
+  void posting(int64_t key, int64_t *lo, int64_t *hi) const {
+    *lo = std::lower_bound(skeys, skeys + nmin, key) - skeys;
+    *hi = std::upper_bound(skeys, skeys + nmin, key) - skeys;
+  }
+};
+
+struct Rect {
+  int32_t qs, qe, rs, re;
+};
+
+struct SearchParams {
+  int kmer_size;
+  double tau_k;          // tau(MAX_EDIT_ERROR, k)
+  int min_read_size;     // 700
+  int max_sd_size;       // 1<<20
+  double max_error;      // 0.30
+  double max_edit_error; // 0.15
+  double gap_frequency;  // 0.005
+  int min_uppercase;     // 12
+  int do_uppercase;      // flags
+  int do_qgram;
+  int do_uppercase_seeds;
+  int same_genome;
+};
+
+struct OutHit {
+  int32_t qs, qe, rs, re, jaccard;
+};
+
+struct Counters {
+  int64_t total = 0, jaccard = 0, interval = 0, lowercase = 0, qgram = 0;
+};
+
+static bool tree_covers(const std::vector<Rect> &tree, int32_t q, int32_t r) {
+  for (const auto &t : tree)
+    if (t.qs <= q && q < t.qe && t.rs <= r && r < t.re) return true;
+  return false;
+}
+
+static bool is_overlap(const std::vector<Rect> &tree, int32_t pf_pos,
+                       int32_t pf_end, int32_t pfp_pos, int32_t pfp_end,
+                       const SearchParams &P) {
+  for (const auto &t : tree) {
+    if (!(t.qs <= pf_pos && pf_pos < t.qe && t.rs <= pfp_pos &&
+          pfp_pos < t.re))
+      continue;
+    if (pf_pos >= t.qs && pf_end <= t.qe && pfp_pos >= t.rs &&
+        pfp_end <= t.re)
+      return true;
+    if (std::min(t.qe - t.qs, t.re - t.rs) < P.min_read_size * 1.5) continue;
+    if (t.qe - pf_pos >= P.min_read_size && t.re - pfp_pos >= P.min_read_size)
+      return true;
+  }
+  return false;
+}
+
+// uppercase + q-gram filter (ops/filter.py filter_hit)
+static bool filter_hit(const IndexView &Q, int32_t qs, int32_t qe,
+                       const IndexView &R, int32_t rs, int32_t re,
+                       const SearchParams &P, Counters &C) {
+  if (P.do_uppercase) {
+    int64_t qu = 0, ru = 0;
+    for (int32_t i = qs; i < qe; i++) qu += (Q.cls[i] == 0);
+    for (int32_t i = rs; i < re; i++) ru += (R.cls[i] == 0);
+    if (qu < P.min_uppercase || ru < P.min_uppercase) {
+      C.lowercase++;
+      return false;
+    }
+  }
+  if (P.do_qgram) {
+    const int QG = 5;
+    const int QSZ = 1 << (2 * QG);
+    int maxlen = std::max(qe - qs, re - rs);
+    int minqg = (int)(maxlen * (1 - (P.max_error - P.max_edit_error) -
+                                QG * P.max_edit_error) -
+                      (P.gap_frequency * maxlen + 1) * (QG - 1));
+    static thread_local std::vector<int32_t> hq(QSZ), hr(QSZ);
+    std::fill(hq.begin(), hq.end(), 0);
+    std::fill(hr.begin(), hr.end(), 0);
+    uint32_t g = 0, mask = QSZ - 1;
+    for (int32_t i = qs; i < qe; i++) {
+      g = ((g << 2) | Q.code[i]) & mask;
+      if (i - qs >= QG - 1) hq[g]++;
+    }
+    g = 0;
+    for (int32_t i = rs; i < re; i++) {
+      g = ((g << 2) | R.code[i]) & mask;
+      if (i - rs >= QG - 1) hr[g]++;
+    }
+    int64_t dist = 0;
+    for (int i = 0; i < QSZ; i++) dist += std::min(hq[i], hr[i]);
+    if (dist < minqg) {
+      C.qgram++;
+      return false;
+    }
+  }
+  return true;
+}
+
+// 3-mode greedy extension (models/seeder.py extend / search.cc:95-259)
+struct ExtState {
+  int32_t qs, qe, rs, re;
+  int64_t qws, qwe, rws, rwe;
+};
+
+static OutHit extend_hit(Sketch &w, const IndexView &Q, const IndexView &R,
+                         ExtState st, const SearchParams &P) {
+  const int64_t nq = Q.nmin, nr = R.nmin;
+  auto q_right = [&]() {
+    if (st.qwe >= nq) return false;
+    w.add_query(Q.keys[st.qwe++]);
+    st.qe = st.qwe < nq ? Q.locs[st.qwe] : (int32_t)Q.len;
+    return true;
+  };
+  auto undo_q_right = [&]() {
+    w.remove_query(Q.keys[--st.qwe]);
+    st.qe = Q.locs[st.qwe];
+  };
+  auto r_right = [&]() {
+    if (st.rwe >= nr) return false;
+    w.add_ref(R.keys[st.rwe++]);
+    st.re = st.rwe < nr ? R.locs[st.rwe] : (int32_t)R.len;
+    return true;
+  };
+  auto undo_r_right = [&]() {
+    w.remove_ref(R.keys[--st.rwe]);
+    st.re = R.locs[st.rwe];
+  };
+  auto q_left = [&]() {
+    if (!st.qws) return false;
+    w.add_query(Q.keys[--st.qws]);
+    st.qs = st.qws ? Q.locs[st.qws - 1] + 1 : 0;
+    return true;
+  };
+  auto undo_q_left = [&]() {
+    st.qs = Q.locs[st.qws] + 1;
+    w.remove_query(Q.keys[st.qws++]);
+  };
+  auto r_left = [&]() {
+    if (!st.rws) return false;
+    w.add_ref(R.keys[--st.rws]);
+    st.rs = st.rws ? R.locs[st.rws - 1] + 1 : 0;
+    return true;
+  };
+  auto undo_r_left = [&]() {
+    st.rs = R.locs[st.rws] + 1;
+    w.remove_ref(R.keys[st.rws++]);
+  };
+  auto both_right = [&]() {
+    if (st.rwe >= nr || st.qwe >= nq) return false;
+    bool r = q_right();
+    r &= r_right();
+    return r;
+  };
+  auto undo_both_right = [&]() {
+    undo_r_right();
+    undo_q_right();
+  };
+  auto both_left = [&]() {
+    if (!st.qws || !st.rws) return false;
+    bool r = q_left();
+    r &= r_left();
+    return r;
+  };
+  auto undo_both_left = [&]() {
+    undo_r_left();
+    undo_q_left();
+  };
+  auto both_both = [&]() {
+    if (!st.qws || !st.rws) return false;
+    if (st.rwe >= nr || st.qwe >= nq) return false;
+    bool r = both_left();
+    r &= both_right();
+    return r;
+  };
+  auto undo_both_both = [&]() {
+    undo_both_right();
+    undo_both_left();
+  };
+
+  st.qs = st.qws ? Q.locs[st.qws - 1] + 1 : 0;
+  st.qe = st.qwe < nq ? Q.locs[st.qwe] : (int32_t)Q.len;
+  st.rs = st.rws ? R.locs[st.rws - 1] + 1 : 0;
+  st.re = st.rwe < nr ? R.locs[st.rwe] : (int32_t)R.len;
+
+  const double max_gap_error = P.max_error - P.max_edit_error;
+  for (;;) {
+    int64_t max_match =
+        P.same_genome
+            ? std::min<int64_t>(
+                  P.max_sd_size,
+                  (int64_t)((1.0 / max_gap_error + .5) *
+                            std::abs((int64_t)st.qs - (int64_t)st.rs)))
+            : P.max_sd_size;
+    int64_t aln_len = std::max(st.qe - st.qs, st.re - st.rs);
+    int64_t seq_len = std::min(st.qe - st.qs, st.re - st.rs);
+    if (aln_len > max_match ||
+        100.0 * seq_len / aln_len < 100 * (1 - 2 * max_gap_error))
+      break;
+    if (P.same_genome) {
+      int64_t overlap = st.qe - st.rs;
+      if (overlap > 0 &&
+          100.0 * overlap / (st.re - st.rs) > 100 * P.max_error)
+        break;
+    }
+    bool extended = false;
+    // order: both_both, both_right, both_left
+    if (both_both()) {
+      if (w.jaccard() >= 0) extended = true;
+      else undo_both_both();
+    }
+    if (!extended && both_right()) {
+      if (w.jaccard() >= 0) extended = true;
+      else undo_both_right();
+    }
+    if (!extended && both_left()) {
+      if (w.jaccard() >= 0) extended = true;
+      else undo_both_left();
+    }
+    if (!extended) break;
+  }
+  return OutHit{st.qs, st.qe, st.rs, st.re, w.jaccard()};
+}
+
+static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
+                            const IndexView &Q, const IndexView &R,
+                            std::vector<Rect> &tree, int init_len,
+                            const Sketch &winnow0, int32_t t_start,
+                            int32_t t_end, const SearchParams &P,
+                            Counters &C, std::vector<OutHit> &hits) {
+  C.total++;
+  const int64_t nr = R.nmin;
+  int32_t ref_start = t_start;
+  int32_t ref_end = (int32_t)std::min<int64_t>(t_start + init_len, R.len);
+  int64_t rws = Q.len ? R.find_minimizers(ref_start) : 0;
+  int64_t rwe = rws;
+  Sketch w = winnow0;
+  while (rwe < nr && R.locs[rwe] < ref_end) w.add_ref(R.keys[rwe++]);
+
+  // roll to best (reference records best coords PRE-increment and feeds the
+  // first filter the FINAL scan coords; see models/seeder.py)
+  Sketch init_w = w;
+  const int32_t init_rs = ref_start, init_re = ref_end;
+  const int64_t init_rws = rws, init_rwe = rwe;
+  int best_j = w.jaccard();
+  int32_t best_rs = ref_start, best_re = ref_end;
+  int64_t best_steps = 0, steps = 0;
+  while (ref_start < t_end && ref_end < R.len) {
+    if (rws < nr && R.locs[rws] < ref_start + 1) w.remove_ref(R.keys[rws++]);
+    if (rwe < nr && R.locs[rwe] == ref_end) w.add_ref(R.keys[rwe++]);
+    steps++;
+    if (w.jaccard() > best_j) {
+      best_j = w.jaccard();
+      best_rs = ref_start;
+      best_re = ref_end;
+      best_steps = steps;
+    }
+    ref_start++;
+    ref_end++;
+    if (ref_end == R.len) break;
+  }
+  const int32_t final_rs = ref_start, final_re = ref_end;
+
+  // replay to the best round
+  w = init_w;
+  ref_start = init_rs;
+  ref_end = init_re;
+  rws = init_rws;
+  rwe = init_rwe;
+  for (int64_t i = 0; i < best_steps; i++) {
+    if (rws < nr && R.locs[rws] < ref_start + 1) w.remove_ref(R.keys[rws++]);
+    if (rwe < nr && R.locs[rwe] == ref_end) w.add_ref(R.keys[rwe++]);
+    ref_start++;
+    ref_end++;
+  }
+  if (best_steps) {
+    ref_start--;
+    ref_end--;
+  }
+
+  if (w.jaccard() < 0) {
+    C.jaccard++;
+    return;  // report_fails always false in production
+  }
+  if (is_overlap(tree, query_start, query_start + init_len, ref_start,
+                 ref_end, P)) {
+    C.interval++;
+    return;
+  }
+  if (!filter_hit(Q, query_start, query_start + init_len, R, final_rs,
+                  std::min<int32_t>(final_re, (int32_t)R.len), P, C))
+    return;
+  ExtState st{query_start, query_start + init_len, ref_start, ref_end,
+              qws, qwe, rws, rwe};
+  OutHit h = extend_hit(w, Q, R, st, P);
+  if (!filter_hit(Q, h.qs, h.qe, R, h.rs, h.re, P, C)) return;
+  hits.push_back(h);
+  tree.push_back(Rect{h.qs, h.qe, h.rs, h.re});
+}
+
+static void parse_hits(std::vector<OutHit> &hits) {
+  std::vector<OutHit> keep;
+  for (size_t i = 0; i < hits.size(); i++) {
+    bool add = true;
+    for (size_t j = 0; j < hits.size(); j++) {
+      if (i != j && hits[i].rs >= hits[j].rs && hits[i].re <= hits[j].re &&
+          hits[i].qs >= hits[j].qs && hits[i].qe <= hits[j].qe) {
+        add = false;
+        break;
+      }
+    }
+    if (add) keep.push_back(hits[i]);
+  }
+  hits.swap(keep);
+}
+
+// full initial_search over a chromosome pair; returns hit count (or
+// -needed if out capacity is too small).  counters_out: int64[5].
+int64_t sedef_search(
+    // query index
+    const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
+    const int64_t *q_skeys, const int32_t *q_slocs, int64_t q_threshold,
+    const uint8_t *q_cls, const uint8_t *q_code, int64_t q_len,
+    // ref index
+    const int64_t *r_keys, const int32_t *r_locs, int64_t r_nmin,
+    const int64_t *r_skeys, const int32_t *r_slocs, int64_t r_threshold,
+    const uint8_t *r_cls, const uint8_t *r_code, int64_t r_len,
+    // params
+    int kmer_size, double tau_k, int min_read_size, int max_sd_size,
+    double max_error, double max_edit_error, double gap_frequency,
+    int min_uppercase, int same_genome, int do_uppercase, int do_qgram,
+    int do_uppercase_seeds,
+    // out
+    int32_t *out, int64_t out_cap, int64_t *counters_out) {
+  IndexView Q{q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold,
+              q_cls, q_code, q_len};
+  IndexView R{r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold,
+              r_cls, r_code, r_len};
+  SearchParams P{kmer_size,    tau_k,        min_read_size, max_sd_size,
+                 max_error,    max_edit_error, gap_frequency, min_uppercase,
+                 do_uppercase, do_qgram,     do_uppercase_seeds, same_genome};
+  Counters C;
+  const int n_shift = 2 * kmer_size;
+
+  std::vector<Rect> tree;
+  std::vector<OutHit> all;
+  int32_t next_to_attain = 0;
+  int64_t prune_mark = 0;
+
+  for (int64_t qi = 0; qi < q_nmin; qi++) {
+    int32_t loc = q_locs[qi];
+    if (loc < next_to_attain) continue;
+    if (do_uppercase_seeds && (q_keys[qi] >> n_shift) != 0) continue;
+
+    // ---- search() (models/seeder.py search / search.cc:395-471) ----
+    std::vector<OutHit> hits;
+    int32_t query_start = loc;
+    if (query_start + min_read_size <= (int64_t)q_len) {
+      Sketch init_w(tau_k, n_shift);
+      std::set<int32_t> cand;
+      int64_t qwe = qi;
+      while (qwe < q_nmin && q_locs[qwe] - query_start <= min_read_size) {
+        int64_t key = q_keys[qwe];
+        init_w.add_query(key);
+        qwe++;
+        if (do_uppercase_seeds && (key >> n_shift) != 0) continue;
+        int64_t lo, hi;
+        R.posting(key, &lo, &hi);
+        int64_t sz = hi - lo;
+        if (sz == 0 || sz >= r_threshold) continue;
+        int32_t qloc = q_locs[qwe - 1];
+        // posting loci ascending
+        static thread_local std::vector<int32_t> pl;
+        pl.assign(r_slocs + lo, r_slocs + hi);
+        std::sort(pl.begin(), pl.end());
+        for (int32_t pos : pl) {
+          if (!same_genome || pos >= query_start + min_read_size) {
+            if (!tree_covers(tree, qloc, pos)) cand.insert(pos);
+          }
+        }
+      }
+      if (init_w.query_size) {
+        std::vector<int32_t> candidates(cand.begin(), cand.end());
+        std::vector<std::pair<int32_t, int32_t>> T;
+        int limit = init_w.limit;
+        for (int64_t i = 0;
+             i <= (int64_t)candidates.size() - limit; i++) {
+          int64_t j = i + limit - 1;
+          if (candidates[j] - candidates[i] <= min_read_size) {
+            int32_t x = std::max(0, candidates[j] - min_read_size + 1);
+            int32_t y = candidates[i] + 1;
+            if (!T.empty() && x < T.back().second)
+              T.back().second = std::max(T.back().second, y);
+            else
+              T.push_back({x, y});
+          }
+        }
+        for (auto &t : T) {
+          if (same_genome)
+            t.first = std::max(t.first, query_start + min_read_size);
+          if (t.first > t.second) continue;
+          search_interval(query_start, qi, qwe, Q, R, tree, min_read_size,
+                          init_w, t.first, t.second, P, C, hits);
+        }
+        // tree -= [0, query_start - min_read_size)
+        int32_t upto = query_start - min_read_size;
+        if (upto > 0) {
+          std::vector<Rect> keep;
+          for (auto &r : tree)
+            if (r.qe > upto) keep.push_back(r);
+          tree.swap(keep);
+        }
+        parse_hits(hits);
+      }
+    }
+    // ---- end search() ----
+
+    int32_t min_len = (int32_t)q_len;
+    for (auto &h : hits) {
+      min_len = std::min(min_len, h.qe - h.qs);
+      all.push_back(h);
+    }
+    next_to_attain =
+        (min_len >= min_read_size
+             ? loc + (int32_t)(min_read_size * max_error) / 2
+             : loc);
+  }
+
+  counters_out[0] = C.total;
+  counters_out[1] = C.jaccard;
+  counters_out[2] = C.interval;
+  counters_out[3] = C.lowercase;
+  counters_out[4] = C.qgram;
+  if ((int64_t)all.size() * 5 > out_cap) return -(int64_t)all.size();
+  for (size_t i = 0; i < all.size(); i++) {
+    out[i * 5 + 0] = all[i].qs;
+    out[i * 5 + 1] = all[i].qe;
+    out[i * 5 + 2] = all[i].rs;
+    out[i * 5 + 3] = all[i].re;
+    out[i * 5 + 4] = all[i].jaccard;
+  }
+  return (int64_t)all.size();
+}
+
+// ---------------------------------------------------------------------------
+// Wavefront CIGAR traceback (ops/wavefront.py backtrack_np)
+// ---------------------------------------------------------------------------
+
+// p: row-major (n_rows, stride) direction bytes; returns run count (ops in
+// ops_out as 'M'/'D'/'I' bytes, lengths in lens_out), or -1 on overflow.
+int64_t sedef_backtrack(const uint8_t *p, int64_t stride, int32_t qlen,
+                        int32_t tlen, uint8_t *ops_out, int32_t *lens_out,
+                        int64_t cap) {
+  int64_t n = 0;
+  auto push = [&](char op, int32_t ln) -> bool {
+    if (n > 0 && (char)ops_out[n - 1] == op) {
+      lens_out[n - 1] += ln;
+      return true;
+    }
+    if (n >= cap) return false;
+    ops_out[n] = (uint8_t)op;
+    lens_out[n] = ln;
+    n++;
+    return true;
+  };
+  int32_t i = tlen - 1, j = qlen - 1;
+  int state = 0;
+  while (i >= 0 && j >= 0) {
+    int64_t r = (int64_t)i + j;
+    int32_t st0 = std::max(0, (int32_t)(r - qlen + 1));
+    int32_t en0 = std::min((int32_t)r, tlen - 1);
+    int force_state = -1;
+    if (i < st0) force_state = 2;
+    if (i > en0) force_state = 1;
+    int tmp = force_state < 0 ? p[r * stride + i] : 0;
+    if (state == 0) state = tmp & 7;
+    else if (!((tmp >> (state + 2)) & 1)) state = 0;
+    if (state == 0) state = tmp & 7;
+    if (force_state >= 0) state = force_state;
+    bool ok;
+    if (state == 0) {
+      ok = push('M', 1);
+      i--;
+      j--;
+    } else if (state == 1 || state == 3) {
+      ok = push('I', 1);
+      i--;
+    } else {
+      ok = push('D', 1);
+      j--;
+    }
+    if (!ok) return -1;
+  }
+  if (i >= 0 && !push('I', i + 1)) return -1;
+  if (j >= 0 && !push('D', j + 1)) return -1;
+  std::reverse(ops_out, ops_out + n);
+  std::reverse(lens_out, lens_out + n);
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Anchor chaining DP (ops/chain.py chain_anchors)
+// ---------------------------------------------------------------------------
+
+namespace chain_dp {
+
+constexpr int64_t MIN_SCORE = INT64_MIN / 4;
+
+// priority-pointer segment tree with reference-equivalent tie propagation
+struct PTree {
+  std::vector<std::pair<int64_t, int32_t>> keys;  // (r_end-1, anchor idx)
+  std::vector<int64_t> scores;
+  std::vector<int32_t> ta, tp;
+  std::vector<std::pair<int64_t, int32_t>> th;
+  int64_t nsize;
+
+  void init(std::vector<std::pair<std::pair<int64_t, int32_t>, int32_t>> &e) {
+    std::sort(e.begin(), e.end());
+    int64_t n = e.size();
+    keys.resize(n);
+    scores.assign(n, MIN_SCORE);
+    for (int64_t i = 0; i < n; i++) keys[i] = e[i].first;
+    int64_t size = 1;
+    while (size < std::max<int64_t>(n, 1)) size <<= 1;
+    nsize = 2 * size;
+    ta.assign(nsize, -1);
+    tp.assign(nsize, -1);
+    th.assign(nsize, {0, 0});
+    int64_t counter = 0;
+    initr(0, 0, n, counter);
+  }
+
+  void initr(int64_t i, int64_t s, int64_t e, int64_t &counter) {
+    if (i >= nsize) return;
+    if (s + 1 == e) {
+      ta[i] = (int32_t)counter;
+      th[i] = keys[counter];
+      counter++;
+      return;
+    }
+    int64_t bnd = (s + e + 1) / 2;
+    initr(2 * i + 1, s, bnd, counter);
+    initr(2 * i + 2, bnd, e, counter);
+    int64_t src = 2 * i + 1 + (2 * i + 2 < nsize ? 1 : 0);
+    th[i] = th[src];
+  }
+
+  int64_t find_leaf(const std::pair<int64_t, int32_t> &key) const {
+    int64_t leaf = 0;
+    while (leaf < nsize &&
+           (ta[leaf] == -1 || !(key == keys[ta[leaf]]))) {
+      leaf = 2 * leaf + 1 + (key > th[2 * leaf + 1] ? 1 : 0);
+    }
+    return leaf;
+  }
+
+  void activate(const std::pair<int64_t, int32_t> &key, int64_t score) {
+    int32_t leaf = (int32_t)find_leaf(key);
+    scores[ta[leaf]] = score;
+    int64_t i = 0;
+    while (i < nsize) {
+      if (tp[i] == -1 || scores[ta[leaf]] >= scores[ta[tp[i]]]) {
+        int32_t t = tp[i];
+        tp[i] = leaf;
+        leaf = t;
+      }
+      if (leaf == -1) break;
+      i = 2 * i + 1 + (keys[ta[leaf]] > th[2 * i + 1] ? 1 : 0);
+    }
+  }
+
+  void deactivate(const std::pair<int64_t, int32_t> &key) {
+    int32_t leaf = (int32_t)find_leaf(key);
+    scores[ta[leaf]] = MIN_SCORE;
+    int64_t i = 0;
+    while (i < nsize) {
+      if (tp[i] == -1) break;
+      if (tp[i] == leaf) {
+        if (ta[i] != -1) {
+          tp[i] = -1;
+          break;
+        }
+        int64_t l = 2 * i + 1, r = 2 * i + 2;
+        if (r < nsize && tp[r] != -1 &&
+            (tp[l] == -1 || scores[ta[tp[r]]] > scores[ta[tp[l]]])) {
+          tp[i] = tp[r];
+          leaf = tp[r];
+          i = r;
+        } else {
+          tp[i] = tp[l];
+          leaf = tp[l];
+          i = l;
+        }
+        if (leaf == -1) break;
+      } else {
+        i = 2 * i + 1 + (key > th[2 * i + 1] ? 1 : 0);
+      }
+    }
+  }
+
+  int32_t rmqr(const std::pair<int64_t, int32_t> &p,
+               const std::pair<int64_t, int32_t> &q, int64_t i) const {
+    if (i >= nsize) return -1;
+    if (ta[i] != -1) {
+      const auto &k = keys[ta[i]];
+      return (!(k < p) && !(q < k)) ? (int32_t)i : -1;
+    }
+    if (tp[i] == -1) return -1;
+    const auto &k = keys[ta[tp[i]]];
+    if (!(k < p) && !(q < k)) return tp[i];
+    if (!(th[2 * i + 1] < q)) return rmqr(p, q, 2 * i + 1);
+    if (th[2 * i + 1] < p) return rmqr(p, q, 2 * i + 2);
+    int32_t m1 = rmqr(p, q, 2 * i + 1);
+    int32_t m2 = rmqr(p, q, 2 * i + 2);
+    if (m1 == -1) return m2;
+    if (m2 == -1) return m1;
+    return scores[ta[m1]] >= scores[ta[m2]] ? m1 : m2;
+  }
+
+  int32_t rmq(const std::pair<int64_t, int32_t> &p,
+              const std::pair<int64_t, int32_t> &q) const {
+    int32_t i = rmqr(p, q, 0);
+    return i == -1 ? -1 : ta[i];
+  }
+};
+
+}  // namespace chain_dp
+
+// anchors: (q, r, l, has_u) arrays; outputs: path (anchor indices) and
+// boundaries (end offsets + has_u sums).  Returns number of boundaries,
+// or -1 on overflow.
+int64_t sedef_chain(const int32_t *aq, const int32_t *ar, const int32_t *al,
+                    const int32_t *ahu, int64_t n, int max_chain_gap,
+                    int match_chain_score, int32_t *path_out,
+                    int64_t *bound_out, int64_t bound_cap) {
+  using namespace chain_dp;
+  if (n == 0) {
+    if (bound_cap < 2) return -1;
+    bound_out[0] = 0;
+    bound_out[1] = 0;
+    return 1;
+  }
+  std::vector<std::pair<std::pair<int64_t, int32_t>, int32_t>> xs;
+  std::vector<std::pair<std::pair<int64_t, int32_t>, int32_t>> ys;
+  xs.reserve(2 * n);
+  ys.reserve(n);
+  int64_t max_q = 0, max_r = 0;
+  for (int64_t i = 0; i < n; i++) {
+    xs.push_back({{aq[i], (int32_t)i}, (int32_t)i});
+    xs.push_back({{aq[i] + al[i], (int32_t)i}, (int32_t)i});
+    ys.push_back({{ar[i] + al[i] - 1, (int32_t)i}, (int32_t)i});
+    max_q = std::max<int64_t>(max_q, aq[i] + al[i]);
+    max_r = std::max<int64_t>(max_r, ar[i] + al[i]);
+  }
+  std::sort(xs.begin(), xs.end());
+  PTree tree;
+  {
+    // PTree sorts ys and keeps payload order via pos[]
+    std::vector<std::pair<std::pair<int64_t, int32_t>, int32_t>> e = ys;
+    tree.init(e);
+  }
+  // pos[i]: sorted-entry -> original anchor
+  std::vector<int32_t> pos(n);
+  {
+    std::vector<std::pair<std::pair<int64_t, int32_t>, int32_t>> e = ys;
+    std::sort(e.begin(), e.end());
+    for (int64_t i = 0; i < n; i++) pos[i] = e[i].second;
+  }
+
+  std::vector<int32_t> prev(n, -1);
+  std::vector<int64_t> dp(n, 0);
+  int64_t deactivate_bound = 0;
+  for (int64_t xi = 0; xi < (int64_t)xs.size(); xi++) {
+    int32_t i = xs[xi].second;
+    if (xs[xi].first.first == aq[i]) {  // start event
+      while (deactivate_bound < xi) {
+        int32_t t = xs[deactivate_bound].second;
+        int64_t tc = xs[deactivate_bound].first.first;
+        if (tc == aq[t] + al[t]) {
+          if (aq[i] - (aq[t] + al[t]) <= max_chain_gap) break;
+          tree.deactivate({ar[t] + al[t] - 1, t});
+        }
+        deactivate_bound++;
+      }
+      int64_t w = (int64_t)match_chain_score * ahu[i] +
+                  (match_chain_score / 2) * (int64_t)(al[i] - ahu[i]);
+      int32_t j = tree.rmq({ar[i] - max_chain_gap, 0},
+                           {ar[i] - 1, (int32_t)n});
+      if (j != -1 && tree.scores[j] != MIN_SCORE) {
+        int32_t pj = pos[j];
+        int64_t gap = (int64_t)(aq[i] - (aq[pj] + al[pj])) +
+                      (ar[i] - (ar[pj] + al[pj]));
+        if (w + dp[pj] - gap > 0) {
+          dp[i] = w + dp[pj] - gap;
+          prev[i] = pj;
+        } else {
+          dp[i] = w;
+        }
+      } else {
+        dp[i] = w;
+      }
+    } else {  // end event
+      int64_t gap = (max_q + 1 - (aq[i] + al[i])) +
+                    (max_r + 1 - (ar[i] + al[i]));
+      tree.activate({ar[i] + al[i] - 1, i}, dp[i] - gap);
+    }
+  }
+
+  std::vector<std::pair<int64_t, int32_t>> order(n);
+  for (int64_t i = 0; i < n; i++) order[i] = {dp[i], (int32_t)i};
+  std::sort(order.begin(), order.end(),
+            std::greater<std::pair<int64_t, int32_t>>());
+
+  std::vector<char> used(n, 0);
+  int64_t plen = 0, nb = 0;
+  bound_out[nb * 2 + 0] = 0;
+  bound_out[nb * 2 + 1] = 0;
+  nb++;
+  for (auto &m : order) {
+    int32_t maxi = m.second;
+    if (used[maxi]) continue;
+    int64_t hu = 0;
+    while (maxi != -1 && !used[maxi]) {
+      path_out[plen++] = maxi;
+      hu += ahu[maxi];
+      used[maxi] = 1;
+      maxi = prev[maxi];
+    }
+    if (nb * 2 + 1 >= bound_cap) return -1;
+    bound_out[nb * 2 + 0] = plen;
+    bound_out[nb * 2 + 1] = hu;
+    nb++;
+  }
+  return nb;
+}
+
+}  // extern "C"
