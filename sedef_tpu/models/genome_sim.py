@@ -1,0 +1,138 @@
+"""Chromosome-scale synthetic genome generator with planted SDs.
+
+Produces soft-masked sequences with segmental duplications of controlled
+length and divergence (SNPs + small indels + occasional large indels,
+following the reference simulation's mutation model, simulations.py:53-137)
+for accuracy and performance testing without real genome data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .simulate import LETTERS
+
+_LOW = np.frombuffer(b"acgt", dtype=np.uint8)
+_UP = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+@dataclass
+class PlantedSD:
+    chrom_a: str
+    a_start: int
+    a_end: int
+    chrom_b: str
+    b_start: int
+    b_end: int
+    is_rc: bool
+    divergence: float
+
+
+def _rand_codes(rng, n):
+    return rng.integers(0, 4, n, dtype=np.int8)
+
+
+def _mutate_codes(rng, codes: np.ndarray, rate: float) -> np.ndarray:
+    """SNPs (2/3 of errors) + 1 bp indels (1/3)."""
+    n = len(codes)
+    snp = rng.random(n) < rate * 2 / 3
+    out = codes.copy()
+    out[snp] = (out[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
+    indel = np.nonzero(rng.random(n) < rate / 3)[0]
+    if len(indel):
+        keep = np.ones(n, dtype=bool)
+        dels = indel[rng.random(len(indel)) < 0.5]
+        keep[dels] = False
+        pieces = [out[keep]]
+        ins = indel[rng.random(len(indel)) < 0.5]
+        # simple approximation: append random bases for insertions
+        if len(ins):
+            extra = _rand_codes(rng, len(ins))
+            pieces.append(extra)
+        out = np.concatenate(pieces)
+    return out
+
+
+def _to_str(codes: np.ndarray, upper: bool) -> np.ndarray:
+    lut = _UP if upper else _LOW
+    return lut[codes]
+
+
+def simulate_genome(length: int = 5_000_000, n_sds: int = 20,
+                    sd_min: int = 1500, sd_max: int = 40_000,
+                    max_divergence: float = 0.12, rc_fraction: float = 0.3,
+                    n_chroms: int = 1, seed: int = 0,
+                    n_run_every: int = 0
+                    ) -> tuple[dict[str, str], list[PlantedSD]]:
+    """Returns ({chrom_name: sequence}, planted SD list).
+
+    Background is lowercase (soft-masked) random sequence; SD copies are
+    uppercase.  Copies are placed at random non-overlapping positions,
+    possibly across chromosomes.
+    """
+    rng = np.random.default_rng(seed)
+    per_chrom = length // n_chroms
+    chroms = {}
+    buf = {}
+    for ci in range(n_chroms):
+        name = f"chrS{ci + 1}"
+        bg = _to_str(_rand_codes(rng, per_chrom), upper=False)
+        buf[name] = bg.copy()
+    names = list(buf)
+
+    planted: list[PlantedSD] = []
+    occupied: dict[str, list[tuple[int, int]]] = {n: [] for n in names}
+
+    def place(name, ln):
+        for _ in range(200):
+            s = int(rng.integers(0, per_chrom - ln - 1))
+            if all(e <= s or s + ln <= b for b, e in occupied[name]):
+                occupied[name].append((s, s + ln))
+                return s
+        return None
+
+    from ..ops.dna import revcomp
+    for si in range(n_sds):
+        ln = int(rng.integers(sd_min, sd_max))
+        div = float(rng.uniform(0.0, max_divergence))
+        is_rc = bool(rng.random() < rc_fraction)
+        ca = names[int(rng.integers(0, len(names)))]
+        cb = names[int(rng.integers(0, len(names)))]
+        codes = _rand_codes(rng, ln)
+        copy_codes = _mutate_codes(rng, codes, div)
+        sa = place(ca, ln)
+        sb = place(cb, len(copy_codes))
+        if sa is None or sb is None:
+            continue
+        a_str = _to_str(codes, upper=True)
+        b_str = _to_str(copy_codes, upper=True)
+        buf[ca][sa:sa + ln] = a_str
+        if is_rc:
+            b_rc = np.frombuffer(
+                revcomp(b_str.tobytes().decode()).encode(), dtype=np.uint8)
+            buf[cb][sb:sb + len(b_rc)] = b_rc
+        else:
+            buf[cb][sb:sb + len(b_str)] = b_str
+        planted.append(PlantedSD(ca, sa, sa + ln, cb, sb,
+                                 sb + len(copy_codes), is_rc, div))
+
+    if n_run_every:
+        for name in names:
+            for pos in range(n_run_every, per_chrom - 200, n_run_every):
+                if all(e <= pos or pos + 150 <= b
+                       for b, e in occupied[name]):
+                    buf[name][pos:pos + 150] = ord("N")
+
+    for name in names:
+        chroms[name] = buf[name].tobytes().decode()
+    return chroms, planted
+
+
+def write_fasta(path: str, chroms: dict[str, str], width: int = 80) -> None:
+    with open(path, "w") as f:
+        for name, seq in chroms.items():
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), width):
+                f.write(seq[i:i + width] + "\n")

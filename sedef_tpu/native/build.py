@@ -12,7 +12,7 @@ HERE = pathlib.Path(__file__).parent
 def build(verbose: bool = True) -> pathlib.Path:
     src = HERE / "native.cc"
     out = HERE / "libsedef_native.so"
-    cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native",
+    cmd = ["g++", "-std=c++17", "-O3", "-fPIC", "-shared", "-march=native", "-fopenmp-simd", "-funroll-loops",
            str(src), "-o", str(out)]
     if verbose:
         print(" ".join(cmd))

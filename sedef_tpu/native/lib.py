@@ -43,6 +43,12 @@ if _lib is not None:
         _u8, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, _u8, _i32,
         ctypes.c_int64]
 
+    _lib.sedef_align.restype = ctypes.c_int64
+    _lib.sedef_align.argtypes = [
+        _u8, ctypes.c_int32, _u8, ctypes.c_int32, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, _u8, _i32,
+        ctypes.c_int64]
+
     _lib.sedef_chain.restype = ctypes.c_int64
     _lib.sedef_chain.argtypes = [
         _i32, _i32, _i32, _i32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -107,6 +113,21 @@ def search(q_index, r_index, same_genome: bool, cfg) -> np.ndarray:
                 filt.COUNTERS[key] += int(counters[idx])
             return out[:n * 5].reshape(n, 5)
         cap = int(-n) * 5 + 16
+
+
+def align(q: np.ndarray, t: np.ndarray, match: int, mis: int, gapo: int,
+          gape: int) -> list[tuple[str, int]]:
+    """Full scalar wavefront DP + traceback (small host-side problems)."""
+    qlen, tlen = len(q), len(t)
+    cap = qlen + tlen + 2
+    ops = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int32)
+    n = _lib.sedef_align(
+        np.ascontiguousarray(q, np.uint8), qlen,
+        np.ascontiguousarray(t, np.uint8), tlen,
+        match, mis, gapo, gape, ops, lens, cap)
+    assert n >= 0
+    return [(chr(ops[i]), int(lens[i])) for i in range(n)]
 
 
 def backtrack(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:

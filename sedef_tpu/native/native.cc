@@ -704,6 +704,92 @@ int64_t sedef_backtrack(const uint8_t *p, int64_t stride, int32_t qlen,
 }
 
 // ---------------------------------------------------------------------------
+// Full wavefront DP + traceback for small host-side alignments
+// (same recurrence as ops/wavefront.py wavefront_np; ksw2-equivalent)
+// ---------------------------------------------------------------------------
+
+// q/t: alignment-alphabet codes (0..3, 4=wildcard).  Emits CIGAR runs;
+// returns run count or -1 on overflow.
+int64_t sedef_align(const uint8_t *q, int32_t qlen, const uint8_t *t,
+                    int32_t tlen, int match, int mis, int gapo, int gape,
+                    uint8_t *ops_out, int32_t *lens_out, int64_t cap) {
+  if (qlen <= 0 || tlen <= 0) return 0;
+  const int qe = gapo + gape;
+  const int qe2 = 2 * qe;
+  const int max_sc = match + qe2;
+  const int64_t n_diag = (int64_t)qlen + tlen - 1;
+
+  // double-buffered rows with the shifted prev row precomputed (index i
+  // reads xs/vs at [i]) so the inner loop is dependency-free and
+  // auto-vectorizes; reversed query buffer gives contiguous q[r - i] reads
+  // int8 state (ksw2's difference-encoding range invariants keep every
+  // value within int8; int32 state would be 4x the memory traffic and this
+  // loop is bandwidth-bound)
+  std::vector<int8_t> u0(tlen, 0), v0(tlen, 0), x0(tlen, 0), y0(tlen, 0);
+  std::vector<int8_t> u1(tlen), v1b(tlen), x1b(tlen), y1b(tlen);
+  std::vector<int8_t> xs(tlen), vs(tlen);
+  std::vector<uint8_t> p((size_t)n_diag * tlen);
+  // qrev[x] = q[qlen-1-x]; row r reads q[r - i] = qrev[qlen-1-r+i]
+  std::vector<uint8_t> qrev((size_t)qlen + 2 * tlen, 4);
+  for (int32_t jq = 0; jq < qlen; jq++) qrev[tlen + qlen - 1 - jq] = q[jq];
+
+  int8_t *up = u0.data(), *vp = v0.data(), *xp = x0.data(), *yp = y0.data();
+  int8_t *uc = u1.data(), *vc = v1b.data(), *xc = x1b.data(),
+         *yc = y1b.data();
+
+  for (int64_t r = 0; r < n_diag; r++) {
+    int32_t st0 = (int32_t)std::max<int64_t>(0, r - qlen + 1);
+    int32_t en0 = (int32_t)std::min<int64_t>(r, tlen - 1);
+    if (r < tlen) {
+      up[r] = (int8_t)(r > 0 ? gapo : 0);
+      yp[r] = 0;
+    }
+    // shifted prev row
+    xs[0] = 0;
+    vs[0] = (int8_t)(r > 0 ? gapo : 0);
+    if (en0 > 0) {
+      memcpy(&xs[1], &xp[0], (size_t)en0);
+      memcpy(&vs[1], &vp[0], (size_t)en0);
+    }
+    const uint8_t *qrow = &qrev[tlen + qlen - 1 - r];  // qrow[i] = q[r-i]
+    uint8_t *pr = &p[(size_t)r * tlen];
+#pragma omp simd
+    for (int32_t i = st0; i <= en0; i++) {
+      int qc = qrow[i];
+      int tc = t[i];
+      int s = (qc >= 4 || tc >= 4) ? 0 : (qc == tc ? match : mis);
+      int z = s + qe2;
+      int a = (int)xs[i] + vs[i];
+      int b = (int)yp[i] + up[i];
+      uint8_t d = a > z ? 1 : 0;
+      z = a > z ? a : z;
+      d = b > z ? 2 : d;
+      z = b > z ? b : z;
+      z = z < max_sc ? z : max_sc;
+      uc[i] = (int8_t)(z - vs[i]);
+      vc[i] = (int8_t)(z - up[i]);
+      int z2 = z - gapo;
+      int a2 = a - z2;
+      int b2 = b - z2;
+      xc[i] = (int8_t)(a2 > 0 ? a2 : 0);
+      yc[i] = (int8_t)(b2 > 0 ? b2 : 0);
+      d |= (a2 > 0) ? 8 : 0;
+      d |= (b2 > 0) ? 16 : 0;
+      pr[i] = d;
+    }
+    // lanes outside [st0, en0] are never read by in-band cells: the
+    // st0-edge reads lane st0-1 which was in the previous row's band, and
+    // the en0 == r edge is re-injected each row — same garbage-isolation
+    // argument as the Pallas kernel.
+    std::swap(up, uc);
+    std::swap(vp, vc);
+    std::swap(xp, xc);
+    std::swap(yp, yc);
+  }
+  return sedef_backtrack(p.data(), tlen, qlen, tlen, ops_out, lens_out, cap);
+}
+
+// ---------------------------------------------------------------------------
 // Anchor chaining DP (ops/chain.py chain_anchors)
 // ---------------------------------------------------------------------------
 

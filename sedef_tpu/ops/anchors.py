@@ -85,58 +85,55 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
     if pair_q.size == 0:
         return []
 
-    # per-diagonal match-run decomposition
+    # Candidate anchors: a pair (q, r) can start an anchor only if its
+    # predecessor pair (q-1, r-1) is absent from the (filtered) join — the
+    # predecessor would otherwise own the same match run and the slide
+    # check would skip (q, r).  Fully vectorized: sort by (diag, q) and
+    # compare neighbours.  The (rare) case where the predecessor was
+    # dropped by the posting cap but (q, r) lies inside the previous
+    # anchor's run is handled by the per-diagonal slide pass below.
     qlen, rlen = len(query), len(ref)
     off = qlen
     diag = off + pair_r - pair_q
+    order = np.lexsort((pair_q, diag))
+    dq, qq, rr = diag[order], pair_q[order], pair_r[order]
+    has_pred = np.zeros(len(qq), dtype=bool)
+    has_pred[1:] = (dq[1:] == dq[:-1]) & (qq[1:] == qq[:-1] + 1)
+    cand = np.nonzero(~has_pred)[0]
+    cq = qq[cand]
+    cr = rr[cand]
+    cd = dq[cand]
+
     qraw = np.frombuffer(query.encode(), dtype=np.uint8)
     rraw = np.frombuffer(ref.encode(), dtype=np.uint8)
-    q_up = (qraw >= 65) & (qraw <= 90)
-    r_up = (rraw >= 65) & (rraw <= 90)
     qU = np.where((qraw >= 97) & (qraw <= 122), qraw - 32, qraw)
     rU = np.where((rraw >= 97) & (rraw <= 122), rraw - 32, rraw)
+    up_any = (((qraw >= 65) & (qraw <= 90))).astype(np.int64)
+    r_up = (((rraw >= 65) & (rraw <= 90))).astype(np.int64)
     q_isn = qU == ord("N")
     r_isn = rU == ord("N")
 
+    # exact-match run end per candidate (suffix compare, vectorized per
+    # candidate; candidates are few)
     anchors: list[Anchor] = []
-    uniq_diags = np.unique(diag)
-    for d in uniq_diags:
-        dd = int(d) - off  # r = q + dd
-        q0 = max(0, -dd)
-        q1 = min(qlen, rlen - dd)
-        if q0 >= q1:
-            continue
-        qs = np.arange(q0, q1)
-        rs = qs + dd
-        m = (qU[qs] == rU[rs]) & ~q_isn[qs] & ~r_isn[rs]
-        # run ends: for each q, first non-match index at or after it
-        false_idx = np.nonzero(~m)[0]
-        pq = pair_q[diag == d]
-        pq = np.sort(pq)
-        rel = pq - q0
-        if len(false_idx):
-            pos = np.searchsorted(false_idx, rel, side="left")
-            run_end_rel = np.where(
-                pos < len(false_idx),
-                false_idx[np.clip(pos, 0, len(false_idx) - 1)], q1 - q0)
-        else:
-            run_end_rel = np.full(rel.shape, q1 - q0)
-        # slide dedup: first seed of each run wins
-        upsum = np.cumsum((q_up[qs] | r_up[rs]).astype(np.int64))
-        upsum = np.concatenate([[0], upsum])
-        out = []
-        slide = -1
-        for seed_rel, rend in zip(rel.tolist(), run_end_rel.tolist()):
-            if seed_rel + q0 >= slide:
-                ln = int(rend - seed_rel)
-                assert ln >= kmer_size
-                # reference declares ``bool has_u`` (chain.cc:74): it
-                # saturates to any-uppercase, not a count
-                has_u = int(upsum[rend] > upsum[seed_rel])
-                out.append(Anchor(int(seed_rel + q0), int(seed_rel + q0 + dd),
-                                  ln, has_u))
-                slide = seed_rel + q0 + ln
-        anchors.extend(out)
+    runs = []
+    for q0, r0 in zip(cq.tolist(), cr.tolist()):
+        n = min(qlen - q0, rlen - r0)
+        m = ((qU[q0:q0 + n] == rU[r0:r0 + n])
+             & ~q_isn[q0:q0 + n] & ~r_isn[r0:r0 + n])
+        bad = np.nonzero(~m)[0]
+        ln = int(bad[0]) if len(bad) else n
+        has_u = bool((up_any[q0:q0 + ln] | r_up[r0:r0 + ln]).any())
+        runs.append((ln, int(has_u)))
+
+    # per-diagonal slide pass in (diag, q) order (chain.cc:64-98)
+    slide: dict[int, int] = {}
+    for (q0, r0, d), (ln, has_u) in zip(
+            zip(cq.tolist(), cr.tolist(), cd.tolist()), runs):
+        if q0 >= slide.get(d, -1):
+            assert ln >= kmer_size
+            anchors.append(Anchor(q0, r0, ln, has_u))
+            slide[d] = q0 + ln
 
     # reference emission order: q ascending, then r ascending
     anchors.sort(key=lambda a: (a.q, a.r))

@@ -214,14 +214,8 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
 
     B = tgt.shape[0]
     n_diag = S_q + S_t - 1
+    chunk = _chunk_for(S_q, S_t, chunk)
     n_chunks = (n_diag + chunk - 1) // chunk
-    if n_chunks == 1:
-        # Workaround for a JAX interpret-mode bug: with a size-1 grid
-        # dimension, traced scalars derived from its program_id miscompare
-        # ((c*chunk + rr) > 0 evaluates True at 0).  Compiled TPU is fine,
-        # but keep >= 2 chunks so interpret-mode tests stay truthful.
-        chunk = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
-        n_chunks = (n_diag + chunk - 1) // chunk
     qe = gapo + gape
     qe2 = 2 * qe
     max_sc = match + qe2
@@ -387,15 +381,23 @@ def _pad_to_class(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
-def _padded_rows(S_q: int, S_t: int, chunk: int = 256) -> int:
-    """Row count of the kernel output, mirroring the chunk adjustment in
-    ``wavefront_pallas_batch``."""
+def _chunk_for(S_q: int, S_t: int, chunk: int = 256) -> int:
+    """Diagonal rows per grid step: capped so the (1, chunk, S_t) uint8
+    output block stays ~<=512 KB of VMEM, floored to the 8-row store
+    alignment, and never a single chunk (a JAX interpret-mode bug
+    miscompares scalars derived from size-1 grid dims)."""
+    c = max(8, min(chunk, (512 * 1024 // max(S_t, 1)) // 8 * 8))
     n_diag = S_q + S_t - 1
-    n_chunks = (n_diag + chunk - 1) // chunk
-    if n_chunks == 1:
-        chunk = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
-        n_chunks = (n_diag + chunk - 1) // chunk
-    return n_chunks * chunk
+    if (n_diag + c - 1) // c == 1:
+        c = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
+    return c
+
+
+def _padded_rows(S_q: int, S_t: int, chunk: int = 256) -> int:
+    """Row count of the kernel output."""
+    c = _chunk_for(S_q, S_t, chunk)
+    n_diag = S_q + S_t - 1
+    return ((n_diag + c - 1) // c) * c
 
 
 class WavefrontAligner:
@@ -423,9 +425,57 @@ class WavefrontAligner:
         """Global alignment of one pair of code arrays -> CIGAR list."""
         return self.align_batch([(query, target)])[0]
 
+    # Up to the reference's 60 Kbp chunk regime ((120k)*(60k) rotated
+    # cells ~= 7.2 GB traceback buffer, cf. its documented ~7 GB peak RAM);
+    # larger problems never occur because align_strings chunks first.
+    NATIVE_MAX_CELLS = 1 << 33
+
     def align_batch(self, pairs: list[tuple[np.ndarray, np.ndarray]]
                     ) -> list[list[tuple[str, int]]]:
-        """Align many (query, target) code pairs; batches same-class sizes."""
+        """Align many (query, target) code pairs.
+
+        Small problems go to the native C++ scalar DP (per-problem latency
+        ~ms, no dispatch overhead); the rest are batched per size class on
+        the TPU kernel, or the NumPy reference without a device."""
+        results: list[list[tuple[str, int]] | None] = [None] * len(pairs)
+        native = None
+        try:
+            from ..native import lib as _nlib
+            if _nlib.has("align"):
+                native = _nlib
+        except Exception:  # pragma: no cover
+            native = None
+        if native is not None:
+            remaining = []
+            for idx, (qc, tc) in enumerate(pairs):
+                cells = (len(qc) + len(tc)) * max(len(tc), 1)
+                if len(qc) == 0 or len(tc) == 0:
+                    results[idx] = _degenerate_cigar(len(qc), len(tc))
+                elif cells <= self.NATIVE_MAX_CELLS:
+                    results[idx] = native.align(
+                        qc.astype(np.uint8), tc.astype(np.uint8),
+                        self.match, self.mis, self.gapo, self.gape)
+                else:
+                    remaining.append(idx)
+            if not remaining:
+                return results
+            sub = [pairs[i] for i in remaining]
+            for i, cig in zip(remaining, self._align_batch_device(sub)):
+                results[i] = cig
+            return results
+        if not self.use_tpu:
+            for idx, (qc, tc) in enumerate(pairs):
+                if len(qc) == 0 or len(tc) == 0:
+                    results[idx] = _degenerate_cigar(len(qc), len(tc))
+                    continue
+                p, _ = wavefront_np(qc, tc, self.match, self.mis,
+                                    self.gapo, self.gape)
+                results[idx] = backtrack_np(p, len(qc), len(tc))
+            return results
+        return self._align_batch_device(pairs)
+
+    def _align_batch_device(self, pairs: list[tuple[np.ndarray, np.ndarray]]
+                            ) -> list[list[tuple[str, int]]]:
         results: list[list[tuple[str, int]] | None] = [None] * len(pairs)
         if not self.use_tpu:
             for idx, (qc, tc) in enumerate(pairs):
