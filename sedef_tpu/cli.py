@@ -101,6 +101,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    from .models.evaluate import diff
+    fr = FastaReference(args.fasta)
+    res = diff(fr, open(args.bed).read().splitlines(),
+               open(args.wgac).read().splitlines())
+    print(res.report(), file=sys.stderr)
+    return 0
+
+
+def cmd_check_overlap(args) -> int:
+    from .models.evaluate import check_overlap
+    res = check_overlap(open(args.bed).read().splitlines(),
+                        open(args.wgac).read().splitlines())
+    print(res.report(), file=sys.stderr)
+    return 0
+
+
 def cmd_translate(args) -> int:
     fr = FastaReference(args.fasta)
     bins = generate_translation(fr)
@@ -113,7 +130,7 @@ def cmd_translate(args) -> int:
 def cmd_pipeline(args) -> int:
     cfg = _cfg_from_args(args)
     paths = pl.run_pipeline(args.fasta, args.output, cfg,
-                            nbuckets=args.bins)
+                            nbuckets=args.bins, jobs=args.jobs)
     print(f"Final SDs available in {paths['final']}", file=sys.stderr)
     return 0
 
@@ -159,6 +176,17 @@ def main(argv=None) -> int:
     sg.add_argument("--max-ok-gap", type=int, dest="max_ok_gap")
     sg.add_argument("--min-split", type=int, dest="min_split")
     sg.set_defaults(fn=cmd_stats)
+    sd = ssub.add_parser("diff")
+    sd.add_argument("fasta")
+    sd.add_argument("bed")
+    sd.add_argument("wgac")
+    sd.set_defaults(fn=cmd_diff)
+
+    co = sub.add_parser("check-overlap",
+                        help="WGAC per-SD Missed/Partial/Full accounting")
+    co.add_argument("wgac")
+    co.add_argument("bed")
+    co.set_defaults(fn=cmd_check_overlap)
 
     tr = sub.add_parser("translate", help="print super-bin count")
     tr.add_argument("fasta")
@@ -170,6 +198,8 @@ def main(argv=None) -> int:
     pi.add_argument("-n", "--bins", type=int, default=1000)
     pi.add_argument("-k", "--kmer", type=int, default=12)
     pi.add_argument("-w", "--window", type=int, default=16)
+    pi.add_argument("-j", "--jobs", type=int, default=1,
+                    help="parallel jobs (sedef.sh -j equivalent)")
     pi.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)

@@ -61,18 +61,32 @@ def search_job(fr: FastaReference, query_chrs: list[str],
 
 def search_stage(fr: FastaReference, bins: list[list[str]],
                  cfg: Config = DEFAULT, use_device: bool = False,
-                 progress=None) -> list[str]:
-    """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140)."""
-    lines: list[str] = []
+                 progress=None, jobs: int = 1) -> list[str]:
+    """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
+
+    ``jobs > 1`` fans the independent pair jobs over a thread pool (the
+    GNU-Parallel equivalent; the native search core releases the GIL, so
+    threads scale like the reference's processes without duplicating the
+    genome per worker).  Output order stays deterministic."""
     nbins = len(bins)
-    for j in range(nbins):          # reference bin
-        for i in range(j, nbins):   # query bin
-            for is_rc in (False, True):
-                job = search_job(fr, bins[i], bins[j], is_rc, cfg,
-                                 use_device)
-                lines.extend(job)
-                if progress:
-                    progress(i, j, is_rc, len(job))
+    todo = [(i, j, is_rc)
+            for j in range(nbins)
+            for i in range(j, nbins)
+            for is_rc in (False, True)]
+    if jobs <= 1:
+        results = [search_job(fr, bins[i], bins[j], is_rc, cfg, use_device)
+                   for (i, j, is_rc) in todo]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            results = list(ex.map(
+                lambda t: search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
+                                     use_device), todo))
+    lines: list[str] = []
+    for (i, j, is_rc), job in zip(todo, results):
+        lines.extend(job)
+        if progress:
+            progress(i, j, is_rc, len(job))
     return lines
 
 
@@ -212,21 +226,30 @@ def canonical_sort_uniq(lines: list[str]) -> list[str]:
 
 def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                  nbuckets: int = 1000, use_device: bool = False,
-                 aligner: WavefrontAligner | None = None) -> dict[str, str]:
+                 aligner: WavefrontAligner | None = None,
+                 jobs: int = 1) -> dict[str, str]:
     """Full pipeline on one host; returns paths of the stage outputs."""
     os.makedirs(out_dir, exist_ok=True)
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
 
-    seed_lines = search_stage(fr, bins, cfg, use_device=use_device)
+    seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
+                              jobs=jobs)
     seeds_path = os.path.join(out_dir, "seeds.bed")
     with open(seeds_path, "w") as f:
         f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
 
     buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
     aligned: list[str] = []
-    for bucket in buckets:
-        aligned.extend(align_stage(bucket, fr, cfg, aligner))
+    if jobs <= 1:
+        for bucket in buckets:
+            aligned.extend(align_stage(bucket, fr, cfg, aligner))
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            for out in ex.map(
+                    lambda b: align_stage(b, fr, cfg, aligner), buckets):
+                aligned.extend(out)
     aligned = canonical_sort_uniq(aligned)
     aligned_path = os.path.join(out_dir, "aligned.bed")
     with open(aligned_path, "w") as f:
