@@ -29,6 +29,10 @@ if _lib is not None:
     _lib.sedef_winnow.restype = ctypes.c_int64
     _lib.sedef_winnow.argtypes = [_i64, ctypes.c_int64, ctypes.c_int, _i64]
 
+    _lib.sedef_kmer_keys.restype = ctypes.c_int64
+    _lib.sedef_kmer_keys.argtypes = [_u8, _u8, ctypes.c_int64,
+                                     ctypes.c_int, _i64]
+
     _lib.sedef_search.restype = ctypes.c_int64
     _lib.sedef_search.argtypes = (
         [_i64, _i32, ctypes.c_int64, _i64, _i32, ctypes.c_int64, _u8, _u8,
@@ -59,9 +63,22 @@ def has(name: str) -> bool:
     return _lib is not None and hasattr(_lib, "sedef_" + name)
 
 
+def kmer_keys(code: np.ndarray, cls: np.ndarray, k: int) -> np.ndarray:
+    n = code.shape[0] - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    _lib.sedef_kmer_keys(np.ascontiguousarray(code),
+                         np.ascontiguousarray(cls), code.shape[0], k, out)
+    return out
+
+
 def winnow(code: np.ndarray, cls: np.ndarray, k: int, w: int):
-    from ..ops.winnow import kmer_keys_np
-    keys = kmer_keys_np(code, cls, k)
+    if has("kmer_keys"):
+        keys = kmer_keys(code, cls, k)
+    else:  # pragma: no cover
+        from ..ops.winnow import kmer_keys_np
+        keys = kmer_keys_np(code, cls, k)
     n = keys.shape[0]
     if n <= w:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)

@@ -71,6 +71,32 @@ int64_t sedef_winnow(const int64_t *keys, int64_t n, int w, int64_t *out) {
   return cnt;
 }
 
+// packed (status, hash) keys for every k-mer position
+// (ops/winnow.py kmer_keys_np; NumPy int64 shift/or chains are ~100x slower
+// than this single pass on some hosts)
+int64_t sedef_kmer_keys(const uint8_t *code, const uint8_t *cls, int64_t len,
+                        int k, int64_t *out) {
+  int64_t n = len - k + 1;
+  if (n <= 0) return 0;
+  const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
+  int64_t h = 0;
+  // rolling hash + rolling has-N / has-upper counts over the k-window
+  int cnt_n = 0, cnt_u = 0;
+  for (int64_t i = 0; i < len; i++) {
+    h = ((h << 2) | code[i]) & mask;
+    cnt_n += cls[i] == 2;
+    cnt_u += cls[i] == 0;
+    if (i >= k) {
+      cnt_n -= cls[i - k] == 2;
+      cnt_u -= cls[i - k] == 0;
+    }
+    if (i < k - 1) continue;
+    int64_t status = cnt_n ? 2 : (cnt_u ? 0 : 1);
+    out[i - k + 1] = (status << (2 * k)) | h;
+  }
+  return n;
+}
+
 // ---------------------------------------------------------------------------
 // Sliding-Jaccard sketch (ops/sliding.py SlidingJaccard)
 // ---------------------------------------------------------------------------
@@ -558,15 +584,22 @@ int64_t sedef_search(
     if (do_uppercase_seeds && (q_keys[qi] >> n_shift) != 0) continue;
 
     // ---- search() (models/seeder.py search / search.cc:395-471) ----
+    // Deferred-sketch optimization: the init window's sketch state is a
+    // pure function of its distinct key set (query-only inserts are
+    // order-independent), and the clustering limit needs only the
+    // distinct count — so the (expensive) ordered map is built only when
+    // a candidate cluster actually survives.  Results are identical.
     std::vector<OutHit> hits;
     int32_t query_start = loc;
     if (query_start + min_read_size <= (int64_t)q_len) {
-      Sketch init_w(tau_k, n_shift);
-      std::set<int32_t> cand;
+      static thread_local std::vector<int64_t> wkeys;
+      wkeys.clear();
+      static thread_local std::vector<int32_t> cand_v;
+      cand_v.clear();
       int64_t qwe = qi;
       while (qwe < q_nmin && q_locs[qwe] - query_start <= min_read_size) {
         int64_t key = q_keys[qwe];
-        init_w.add_query(key);
+        wkeys.push_back(key);
         qwe++;
         if (do_uppercase_seeds && (key >> n_shift) != 0) continue;
         int64_t lo, hi;
@@ -574,20 +607,25 @@ int64_t sedef_search(
         int64_t sz = hi - lo;
         if (sz == 0 || sz >= r_threshold) continue;
         int32_t qloc = q_locs[qwe - 1];
-        // posting loci ascending
-        static thread_local std::vector<int32_t> pl;
-        pl.assign(r_slocs + lo, r_slocs + hi);
-        std::sort(pl.begin(), pl.end());
-        for (int32_t pos : pl) {
+        for (int64_t pi = lo; pi < hi; pi++) {
+          int32_t pos = r_slocs[pi];
           if (!same_genome || pos >= query_start + min_read_size) {
-            if (!tree_covers(tree, qloc, pos)) cand.insert(pos);
+            if (!tree_covers(tree, qloc, pos)) cand_v.push_back(pos);
           }
         }
       }
-      if (init_w.query_size) {
-        std::vector<int32_t> candidates(cand.begin(), cand.end());
+      std::sort(wkeys.begin(), wkeys.end());
+      int distinct =
+          (int)(std::unique(wkeys.begin(), wkeys.end()) - wkeys.begin());
+      if (distinct) {
+        std::sort(cand_v.begin(), cand_v.end());
+        cand_v.erase(std::unique(cand_v.begin(), cand_v.end()),
+                     cand_v.end());
+        std::vector<int32_t> &candidates = cand_v;
         std::vector<std::pair<int32_t, int32_t>> T;
-        int limit = init_w.limit;
+        Sketch init_w(tau_k, n_shift);
+        bool sketch_built = false;
+        int limit = init_w.limit_for(distinct);
         for (int64_t i = 0;
              i <= (int64_t)candidates.size() - limit; i++) {
           int64_t j = i + limit - 1;
@@ -604,6 +642,11 @@ int64_t sedef_search(
           if (same_genome)
             t.first = std::max(t.first, query_start + min_read_size);
           if (t.first > t.second) continue;
+          if (!sketch_built) {
+            for (int64_t wi = qi; wi < qwe; wi++)
+              init_w.add_query(q_keys[wi]);
+            sketch_built = true;
+          }
           search_interval(query_start, qi, qwe, Q, R, tree, min_read_size,
                           init_w, t.first, t.second, P, C, hits);
         }
