@@ -161,11 +161,12 @@ def fast_align(query: str, ref: str, orig: Hit, kmer_size: int = 11,
                         jaccard=has_u))
         guides.append([path[i] for i in range(be - 1, bs - 1, -1)])
 
-    for h, guide in zip(hits, guides):
-        h.aln = Alignment.from_anchors(
-            query, ref,
-            [(anchors[g].q, anchors[g].r, anchors[g].l) for g in guide],
-            aligner)
+    guide_tuples = [
+        [(anchors[g].q, anchors[g].r, anchors[g].l) for g in guide]
+        for guide in guides]
+    alns = Alignment.from_anchors_many(query, ref, guide_tuples, aligner)
+    for h, aln in zip(hits, alns):
+        h.aln = aln
         h.update_from_alignment()
 
     return refine_chains(hits, query, ref, orig, cfg, aligner)

@@ -135,12 +135,28 @@ class PrioritySegmentTree:
         return -1 if i == -1 else self.tree_a[i]
 
 
-def chain_anchors(anchors: list[Anchor], cfg: Config = DEFAULT
+def chain_anchors(anchors: list[Anchor], cfg: Config = DEFAULT,
+                  use_native: bool | None = None
                   ) -> tuple[list[int], list[tuple[int, int]]]:
-    """chain.cc:103-199; returns (path, boundaries)."""
+    """chain.cc:103-199; returns (path, boundaries).  Dispatches to the
+    parity-tested native DP unless disabled (SEDEF_NO_NATIVE=1)."""
     n = len(anchors)
     if n == 0:
         return [], [(0, 0)]
+    if use_native is None:
+        import os
+        use_native = os.environ.get("SEDEF_NO_NATIVE", "") == ""
+    if use_native:
+        try:
+            from ..native import lib as _native
+        except Exception:  # pragma: no cover
+            _native = None
+        if _native is not None and _native.has("chain"):
+            path, bounds = _native.chain(
+                [a.q for a in anchors], [a.r for a in anchors],
+                [a.l for a in anchors], [a.has_u for a in anchors],
+                cfg.chain.max_chain_gap, cfg.chain.match_chain_score)
+            return list(int(x) for x in path), bounds
     mcg = cfg.chain.max_chain_gap
     mcs = cfg.chain.match_chain_score
 

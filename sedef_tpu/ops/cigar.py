@@ -34,6 +34,58 @@ def _ceq_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 _default_aligner: WavefrontAligner | None = None
 
 
+def _batch_gap_cigars(qstr: str, rstr: str,
+                      gaps: list[tuple[int, int, int, int]],
+                      aligner: WavefrontAligner
+                      ) -> list[list[tuple[str, int]]]:
+    """CIGARs for inter-block gaps, batched through the aligner.
+
+    gaps: (qpe, qs, rpe, rs) per gap.  Applies the reference's gap policy
+    (align.cc:126-145): both-sided small gaps -> full DP; big double gaps
+    -> same-length DP plus one indel (the reference's ma1/ma2 comparison
+    is a no-op, ma1 always wins); one-sided gaps -> pure indel."""
+    jobs: list[tuple[np.ndarray, np.ndarray]] = []
+    plan: list[tuple] = []  # (kind, ...) per gap
+    for (qpe, qs, rpe, rs) in gaps:
+        qgap, rgap = qs - qpe, rs - rpe
+        if qgap and rgap:
+            if qgap <= 1000 and rgap <= 1000:
+                plan.append(("dp", len(jobs)))
+                jobs.append((encode_align(qstr[qpe:qs]),
+                             encode_align(rstr[rpe:rs])))
+            else:
+                mi = min(qgap, rgap)
+                ma = max(qgap, rgap)
+                plan.append(("dp_indel", len(jobs),
+                             "I" if qgap == mi else "D", ma - mi))
+                jobs.append((encode_align(qstr[qpe:qpe + mi]),
+                             encode_align(rstr[rpe:rpe + mi])))
+        elif qgap:
+            plan.append(("D", qgap))
+        elif rgap:
+            plan.append(("I", rgap))
+        else:
+            plan.append(("none",))
+    # NOTE: the chunked align_strings path only matters above
+    # MAX_KSW_SEQ_LEN = 60 Kbp; double-sided DP jobs here are bounded by
+    # MAX_GAP = 10 Kbp (refine) so plain align_batch is equivalent.
+    cigars = aligner.align_batch(jobs) if jobs else []
+    out: list[list[tuple[str, int]]] = []
+    for entry in plan:
+        kind = entry[0]
+        if kind == "dp":
+            out.append(list(cigars[entry[1]]))
+        elif kind == "dp_indel":
+            cig = list(cigars[entry[1]])
+            cig.append((entry[2], entry[3]))
+            out.append(cig)
+        elif kind in ("D", "I"):
+            out.append([(kind, entry[1])])
+        else:
+            out.append([])
+    return out
+
+
 def default_aligner() -> WavefrontAligner:
     global _default_aligner
     if _default_aligner is None:
@@ -96,30 +148,57 @@ class Alignment:
                      aligner: WavefrontAligner | None = None) -> "Alignment":
         """Stitch exact-match anchors (q, r, len) with aligned gaps
         (align.cc:199-270)."""
-        al = cls()
-        if not anchors:
-            return al
+        return cls.from_anchors_many(qstr, rstr, [anchors], aligner)[0]
+
+    @classmethod
+    def from_anchors_many(cls, qstr: str, rstr: str,
+                          guides: list[list[tuple[int, int, int]]],
+                          aligner: WavefrontAligner | None = None
+                          ) -> list["Alignment"]:
+        """from_anchors for many chains at once: every chain's inter-anchor
+        gap DP goes into ONE batched aligner call (the TPU-side win for
+        stage 2b)."""
         if aligner is None:
             aligner = default_aligner()
-        q0, r0, l0 = anchors[0]
-        al.start_a, al.end_a = q0, q0 + l0
-        al.start_b, al.end_b = r0, r0 + l0
-        al.a = qstr[al.start_a:al.end_a]
-        al.b = rstr[al.start_b:al.end_b]
-        al.cigar = [("M", l0)]
-        pq, pr, plen = q0, r0, l0
-        for (q, r, ln) in anchors[1:]:
-            qpe, rpe = pq + plen, pr + plen
-            assert qpe <= q and rpe <= r
-            al.end_a = q + ln
-            al.end_b = r + ln
-            al.a += qstr[qpe:q + ln]
-            al.b += rstr[rpe:r + ln]
-            _append_gap_cigar(al, qstr, rstr, qpe, q, rpe, r, aligner)
-            al.append_cigar([("M", ln)])
-            pq, pr, plen = q, r, ln
-        al.populate()
-        return al
+        all_gaps: list[tuple[int, int, int, int]] = []
+        spans: list[tuple[int, int]] = []
+        for anchors in guides:
+            start = len(all_gaps)
+            pq = pr = plen = 0
+            for gi, (q, r, ln) in enumerate(anchors):
+                if gi:
+                    qpe, rpe = pq + plen, pr + plen
+                    assert qpe <= q and rpe <= r
+                    all_gaps.append((qpe, q, rpe, r))
+                pq, pr, plen = q, r, ln
+            spans.append((start, len(all_gaps)))
+        all_cigars = _batch_gap_cigars(qstr, rstr, all_gaps, aligner)
+
+        out: list[Alignment] = []
+        for anchors, (gs, ge) in zip(guides, spans):
+            al = cls()
+            if not anchors:
+                out.append(al)
+                continue
+            q0, r0, l0 = anchors[0]
+            al.start_a, al.end_a = q0, q0 + l0
+            al.start_b, al.end_b = r0, r0 + l0
+            al.a = qstr[al.start_a:al.end_a]
+            al.b = rstr[al.start_b:al.end_b]
+            al.cigar = [("M", l0)]
+            pq, pr, plen = q0, r0, l0
+            for (q, r, ln), gc in zip(anchors[1:], all_cigars[gs:ge]):
+                qpe, rpe = pq + plen, pr + plen
+                al.end_a = q + ln
+                al.end_b = r + ln
+                al.a += qstr[qpe:q + ln]
+                al.b += rstr[rpe:r + ln]
+                al.append_cigar(gc)
+                al.append_cigar([("M", ln)])
+                pq, pr, plen = q, r, ln
+            al.populate()
+            out.append(al)
+        return out
 
     @classmethod
     def from_guide(cls, qstr: str, rstr: str, guide: list["Alignment"],
@@ -131,16 +210,23 @@ class Alignment:
         if aligner is None:
             aligner = default_aligner()
         al = guide[0].copy()
+        # plan gaps between consecutive guide blocks, batch-align, stitch
+        gaps = []
+        pe_a, pe_b = al.end_a, al.end_b
         for cur in guide[1:]:
+            assert pe_a <= cur.start_a and pe_b <= cur.start_b
+            gaps.append((pe_a, cur.start_a, pe_b, cur.start_b))
+            pe_a, pe_b = cur.end_a, cur.end_b
+        gap_cigars = _batch_gap_cigars(qstr, rstr, gaps, aligner)
+        for cur, gc in zip(guide[1:], gap_cigars):
             qs, qe = cur.start_a, cur.end_a
             rs, re = cur.start_b, cur.end_b
             qpe, rpe = al.end_a, al.end_b
-            assert qpe <= qs and rpe <= rs
             al.end_a = qe
             al.end_b = re
             al.a += qstr[qpe:qe]
             al.b += rstr[rpe:re]
-            _append_gap_cigar(al, qstr, rstr, qpe, qs, rpe, rs, aligner)
+            al.append_cigar(gc)
             al.append_cigar(cur.cigar)
         qlo, qhi = al.start_a, al.end_a
         rlo, rhi = al.start_b, al.end_b
