@@ -429,6 +429,11 @@ class WavefrontAligner:
     # cells ~= 7.2 GB traceback buffer, cf. its documented ~7 GB peak RAM);
     # larger problems never occur because align_strings chunks first.
     NATIVE_MAX_CELLS = 1 << 33
+    # batches at least this large go to the TPU kernel in one dispatch.
+    # Breakeven = dispatch latency / native per-job time: ~256 on this
+    # tunneled (axon) device at ~500 ms round trips; a directly attached
+    # chip breaks even around 8-16.
+    DEVICE_BATCH_MIN = 256
 
     def align_batch(self, pairs: list[tuple[np.ndarray, np.ndarray]]
                     ) -> list[list[tuple[str, int]]]:
@@ -446,22 +451,32 @@ class WavefrontAligner:
         except Exception:  # pragma: no cover
             native = None
         if native is not None:
-            remaining = []
+            # device takes big problems always, and bulk batches when a TPU
+            # is present (one dispatch amortizes over the whole batch);
+            # stragglers go to the native scalar DP
+            device_idx = []
+            native_idx = []
             for idx, (qc, tc) in enumerate(pairs):
                 cells = (len(qc) + len(tc)) * max(len(tc), 1)
                 if len(qc) == 0 or len(tc) == 0:
                     results[idx] = _degenerate_cigar(len(qc), len(tc))
-                elif cells <= self.NATIVE_MAX_CELLS:
-                    results[idx] = native.align(
-                        qc.astype(np.uint8), tc.astype(np.uint8),
-                        self.match, self.mis, self.gapo, self.gape)
+                elif cells > self.NATIVE_MAX_CELLS:
+                    device_idx.append(idx)
                 else:
-                    remaining.append(idx)
-            if not remaining:
-                return results
-            sub = [pairs[i] for i in remaining]
-            for i, cig in zip(remaining, self._align_batch_device(sub)):
-                results[i] = cig
+                    native_idx.append(idx)
+            if (self.use_tpu and not self.interpret
+                    and len(native_idx) >= self.DEVICE_BATCH_MIN):
+                device_idx += native_idx
+                native_idx = []
+            for idx in native_idx:
+                qc, tc = pairs[idx]
+                results[idx] = native.align(
+                    qc.astype(np.uint8), tc.astype(np.uint8),
+                    self.match, self.mis, self.gapo, self.gape)
+            if device_idx:
+                sub = [pairs[i] for i in device_idx]
+                for i, cig in zip(device_idx, self._align_batch_device(sub)):
+                    results[i] = cig
             return results
         if not self.use_tpu:
             for idx, (qc, tc) in enumerate(pairs):
@@ -497,7 +512,11 @@ class WavefrontAligner:
             groups.setdefault(key, []).append(idx)
 
         for (S_q, S_t), idxs in groups.items():
-            B = len(idxs)
+            # batch padded to a power of two so each (B, S_q, S_t) shape
+            # compiles once per session
+            B = 1
+            while B < len(idxs):
+                B <<= 1
             n_rows = _padded_rows(S_q, S_t)
             qcodes = np.full((B, n_rows), WILDCARD, dtype=np.int32)
             tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
