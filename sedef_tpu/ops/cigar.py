@@ -361,19 +361,21 @@ class Alignment:
             self.cigar += list(app)
 
     def cigar_from_alignment(self) -> None:
-        """Recompute the CIGAR from the gapped strings (align.cc:480-501)."""
-        self.cigar = []
-        op = ""
-        sz = 0
-        for ca, cb in zip(self.align_a, self.align_b):
-            top = "I" if ca == "-" else ("D" if cb == "-" else "M")
-            if op != top:
-                if op:
-                    self.cigar.append((op, sz))
-                op, sz = top, 0
-            sz += 1
-        if op:
-            self.cigar.append((op, sz))
+        """Recompute the CIGAR from the gapped strings (align.cc:480-501),
+        vectorized run-length encoding."""
+        n = len(self.align_a)
+        if n == 0:
+            self.cigar = []
+            return
+        ga = np.frombuffer(self.align_a.encode(), np.uint8)
+        gb = np.frombuffer(self.align_b.encode(), np.uint8)
+        ops = np.where(ga == _DASH, np.uint8(ord("I")),
+                       np.where(gb == _DASH, np.uint8(ord("D")),
+                                np.uint8(ord("M"))))
+        starts = np.concatenate([[0], np.nonzero(ops[1:] != ops[:-1])[0] + 1])
+        ends = np.concatenate([starts[1:], [n]])
+        self.cigar = [(chr(ops[st]), int(en - st))
+                      for st, en in zip(starts, ends)]
 
     def swap(self) -> None:
         """Swap mates, flipping I<->D (align.cc:623-636)."""
@@ -539,35 +541,47 @@ class Alignment:
             aligner = default_aligner()
         assert cur.start_a < self.end_a or cur.start_b < self.end_b
         assert self.end_a <= cur.end_a and self.end_b <= cur.end_b
+        def _nongaps(al):
+            ga = np.frombuffer(al.align_a.encode(), np.uint8) != _DASH
+            gb = np.frombuffer(al.align_b.encode(), np.uint8) != _DASH
+            return ga, gb
+
         def cut_self(trim: int, key: str) -> None:
-            q = r = 0
-            i = len(self.alignment) - 1
-            while i >= 0 and (q if key == "a" else r) < trim:
-                if self.align_a[i] != "-":
-                    q += 1
-                if self.align_b[i] != "-":
-                    r += 1
-                i -= 1
-            self.align_a = self.align_a[:i + 1]
-            self.alignment = self.alignment[:i + 1]
-            self.align_b = self.align_b[:i + 1]
+            # vectorized: pos = column where the trim-th keyed non-gap from
+            # the END is consumed (align.cc:511-525 scan semantics)
+            ga, gb = _nongaps(self)
+            if trim > 0:
+                keyarr = ga if key == "a" else gb
+                idx = np.nonzero(keyarr)[0]
+                pos = int(idx[len(idx) - trim]) if trim <= len(idx) else 0
+                q = int(ga[pos:].sum())
+                r = int(gb[pos:].sum())
+            else:
+                pos = len(self.alignment)
+                q = r = 0
+            self.align_a = self.align_a[:pos]
+            self.alignment = self.alignment[:pos]
+            self.align_b = self.align_b[:pos]
             self.end_a = self.start_a + len(self.a) - q
             self.end_b = self.start_b + len(self.b) - r
             self.a = self.a[:len(self.a) - q]
             self.b = self.b[:len(self.b) - r]
 
         def cut_cur(trim: int, key: str) -> None:
-            q = r = 0
-            i = 0
-            while i < len(cur.alignment) and (q if key == "a" else r) < trim:
-                if cur.align_a[i] != "-":
-                    q += 1
-                if cur.align_b[i] != "-":
-                    r += 1
-                i += 1
-            cur.align_a = cur.align_a[i:]
-            cur.alignment = cur.alignment[i:]
-            cur.align_b = cur.align_b[i:]
+            ga, gb = _nongaps(cur)
+            if trim > 0:
+                keyarr = ga if key == "a" else gb
+                idx = np.nonzero(keyarr)[0]
+                pos = int(idx[trim - 1]) + 1 if trim <= len(idx) \
+                    else len(cur.alignment)
+                q = int(ga[:pos].sum())
+                r = int(gb[:pos].sum())
+            else:
+                pos = 0
+                q = r = 0
+            cur.align_a = cur.align_a[pos:]
+            cur.alignment = cur.alignment[pos:]
+            cur.align_b = cur.align_b[pos:]
             cur.start_a += q
             cur.start_b += r
             cur.a = cur.a[q:]
