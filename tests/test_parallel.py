@@ -55,3 +55,26 @@ def test_scan_matches_numpy_reference():
     p_dev = np.asarray(wavefront_scan_batch(qc, tp, S, S))[0]
     p_ref, _ = wavefront_np(q, t)
     assert backtrack_np(p_dev, ql, tl) == backtrack_np(p_ref, ql, tl)
+
+
+def test_distributed_degenerate(tmp_path):
+    """Distributed pipeline in single-process mode == plain pipeline."""
+    from sedef_tpu.parallel.distributed import (gather_lines,
+                                                run_pipeline_distributed)
+    assert gather_lines(["a", "b"]) == ["a", "b"]
+    rng = np.random.default_rng(2)
+    bg = rng.choice(np.array(list("acgt")), 15000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 1500))
+    chrom = ("".join(bg[:3000]) + seg + "".join(bg[3000:9000]) + seg
+             + "".join(bg[9000:]))
+    fa = tmp_path / "d.fa"
+    with open(fa, "w") as f:
+        f.write(">chrD\n")
+        for i in range(0, len(chrom), 70):
+            f.write(chrom[i:i + 70] + "\n")
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    al = WavefrontAligner(use_tpu=False)
+    paths = run_pipeline_distributed(str(fa), str(tmp_path / "outd"),
+                                     nbuckets=2, aligner=al)
+    rows = open(paths["final"]).read().splitlines()
+    assert len(rows) >= 2  # header + the planted identical pair
