@@ -130,7 +130,8 @@ def cmd_translate(args) -> int:
 def cmd_pipeline(args) -> int:
     cfg = _cfg_from_args(args)
     paths = pl.run_pipeline(args.fasta, args.output, cfg,
-                            nbuckets=args.bins, jobs=args.jobs)
+                            nbuckets=args.bins, jobs=args.jobs,
+                            quiet=False)
     print(f"Final SDs available in {paths['final']}", file=sys.stderr)
     return 0
 

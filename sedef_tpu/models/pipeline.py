@@ -17,6 +17,8 @@ from __future__ import annotations
 import math
 import os
 import re
+import sys
+import time
 from collections import defaultdict
 
 from ..config import DEFAULT, Config
@@ -224,22 +226,44 @@ def canonical_sort_uniq(lines: list[str]) -> list[str]:
     return out
 
 
+def _eprn(msg: str, quiet: bool) -> None:
+    if not quiet:
+        print(msg, file=sys.stderr, flush=True)
+
+
 def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                  nbuckets: int = 1000, use_device: bool = False,
                  aligner: WavefrontAligner | None = None,
-                 jobs: int = 1) -> dict[str, str]:
-    """Full pipeline on one host; returns paths of the stage outputs."""
+                 jobs: int = 1, quiet: bool = True) -> dict[str, str]:
+    """Full pipeline on one host; returns paths of the stage outputs.
+
+    ``quiet=False`` reports per-stage wall times and the seed-funnel
+    counters on stderr (the reference's section timers + fail report,
+    common.h:49-54 / search_main.cc:186-193)."""
     os.makedirs(out_dir, exist_ok=True)
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
 
+    from ..ops import filter as filt
+    t0 = time.time()
     seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
                               jobs=jobs)
+    _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
+          f"(attempts={filt.COUNTERS['total']} "
+          f"jaccard-fail={filt.COUNTERS['jaccard']} "
+          f"interval-fail={filt.COUNTERS['interval']} "
+          f"lowercase-fail={filt.COUNTERS['lowercase']} "
+          f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
     seeds_path = os.path.join(out_dir, "seeds.bed")
     with open(seeds_path, "w") as f:
         f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
 
+    t0 = time.time()
     buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
+    _eprn(f"[bucket] {time.time() - t0:8.1f}s  "
+          f"{sum(len(b) for b in buckets)} regions", quiet)
+
+    t0 = time.time()
     aligned: list[str] = []
     if jobs <= 1:
         for bucket in buckets:
@@ -251,12 +275,17 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                     lambda b: align_stage(b, fr, cfg, aligner), buckets):
                 aligned.extend(out)
     aligned = canonical_sort_uniq(aligned)
+    _eprn(f"[align]  {time.time() - t0:8.1f}s  "
+          f"{len(aligned)} alignments", quiet)
     aligned_path = os.path.join(out_dir, "aligned.bed")
     with open(aligned_path, "w") as f:
         f.write("\n".join(aligned) + ("\n" if aligned else ""))
 
+    t0 = time.time()
     final_rows = reporter.stats_rows(aligned, fr, cfg)
     final_rows = canonical_sort_uniq(final_rows)
+    _eprn(f"[stats]  {time.time() - t0:8.1f}s  "
+          f"{len(final_rows)} final SDs", quiet)
     final_path = os.path.join(out_dir, "final.bed")
     with open(final_path, "w") as f:
         f.write(reporter.HEADER + "\n")
