@@ -131,9 +131,22 @@ def cmd_pipeline(args) -> int:
     cfg = _cfg_from_args(args)
     paths = pl.run_pipeline(args.fasta, args.output, cfg,
                             nbuckets=args.bins, jobs=args.jobs,
-                            quiet=False)
+                            quiet=False, force=args.force)
     print(f"Final SDs available in {paths['final']}", file=sys.stderr)
     return 0
+
+
+def _banner() -> None:
+    import subprocess
+    try:
+        ver = subprocess.run(["git", "describe", "--always", "--dirty"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(__file__)).stdout.strip()
+    except Exception:
+        ver = "unknown"
+    import jax
+    print(f"sedef-tpu {ver} | backend: {jax.default_backend()} "
+          f"({len(jax.devices())} device(s))", file=sys.stderr)
 
 
 def main(argv=None) -> int:
@@ -201,9 +214,12 @@ def main(argv=None) -> int:
     pi.add_argument("-w", "--window", type=int, default=16)
     pi.add_argument("-j", "--jobs", type=int, default=1,
                     help="parallel jobs (sedef.sh -j equivalent)")
+    pi.add_argument("-f", "--force", action="store_true",
+                    help="ignore stage sentinels and recompute")
     pi.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
+    _banner()
     try:
         return args.fn(args)
     except (KeyError, FileNotFoundError, ValueError) as e:

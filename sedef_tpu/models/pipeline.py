@@ -234,52 +234,73 @@ def _eprn(msg: str, quiet: bool) -> None:
 def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                  nbuckets: int = 1000, use_device: bool = False,
                  aligner: WavefrontAligner | None = None,
-                 jobs: int = 1, quiet: bool = True) -> dict[str, str]:
+                 jobs: int = 1, quiet: bool = True,
+                 force: bool = False) -> dict[str, str]:
     """Full pipeline on one host; returns paths of the stage outputs.
 
     ``quiet=False`` reports per-stage wall times and the seed-funnel
     counters on stderr (the reference's section timers + fail report,
-    common.h:49-54 / search_main.cc:186-193)."""
+    common.h:49-54 / search_main.cc:186-193).  Completed stages are
+    resumed from their ``.ok`` sentinel files like the reference driver
+    (sedef.sh:129-240) unless ``force``."""
     os.makedirs(out_dir, exist_ok=True)
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
 
+    def _ok(stage: str) -> str:
+        return os.path.join(out_dir, f"{stage}.ok")
+
+    def _done(stage: str, path: str) -> bool:
+        return (not force and os.path.exists(_ok(stage))
+                and os.path.exists(path))
+
     from ..ops import filter as filt
-    t0 = time.time()
-    seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
-                              jobs=jobs)
-    _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
-          f"(attempts={filt.COUNTERS['total']} "
-          f"jaccard-fail={filt.COUNTERS['jaccard']} "
-          f"interval-fail={filt.COUNTERS['interval']} "
-          f"lowercase-fail={filt.COUNTERS['lowercase']} "
-          f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
     seeds_path = os.path.join(out_dir, "seeds.bed")
-    with open(seeds_path, "w") as f:
-        f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
-
-    t0 = time.time()
-    buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
-    _eprn(f"[bucket] {time.time() - t0:8.1f}s  "
-          f"{sum(len(b) for b in buckets)} regions", quiet)
-
-    t0 = time.time()
-    aligned: list[str] = []
-    if jobs <= 1:
-        for bucket in buckets:
-            aligned.extend(align_stage(bucket, fr, cfg, aligner))
+    if _done("seeds", seeds_path):
+        seed_lines = open(seeds_path).read().splitlines()
+        _eprn(f"[search] resumed  {len(seed_lines)} seeds", quiet)
     else:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=jobs) as ex:
-            for out in ex.map(
-                    lambda b: align_stage(b, fr, cfg, aligner), buckets):
-                aligned.extend(out)
-    aligned = canonical_sort_uniq(aligned)
-    _eprn(f"[align]  {time.time() - t0:8.1f}s  "
-          f"{len(aligned)} alignments", quiet)
+        t0 = time.time()
+        seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
+                                  jobs=jobs)
+        _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
+              f"(attempts={filt.COUNTERS['total']} "
+              f"jaccard-fail={filt.COUNTERS['jaccard']} "
+              f"interval-fail={filt.COUNTERS['interval']} "
+              f"lowercase-fail={filt.COUNTERS['lowercase']} "
+              f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
+        with open(seeds_path, "w") as f:
+            f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
+        open(_ok("seeds"), "w").close()
+
     aligned_path = os.path.join(out_dir, "aligned.bed")
-    with open(aligned_path, "w") as f:
-        f.write("\n".join(aligned) + ("\n" if aligned else ""))
+    if _done("aligned", aligned_path):
+        aligned = open(aligned_path).read().splitlines()
+        _eprn(f"[align]  resumed  {len(aligned)} alignments", quiet)
+    else:
+        t0 = time.time()
+        buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
+        _eprn(f"[bucket] {time.time() - t0:8.1f}s  "
+              f"{sum(len(b) for b in buckets)} regions", quiet)
+
+        t0 = time.time()
+        aligned = []
+        if jobs <= 1:
+            for bucket in buckets:
+                aligned.extend(align_stage(bucket, fr, cfg, aligner))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=jobs) as ex:
+                for out in ex.map(
+                        lambda b: align_stage(b, fr, cfg, aligner),
+                        buckets):
+                    aligned.extend(out)
+        aligned = canonical_sort_uniq(aligned)
+        _eprn(f"[align]  {time.time() - t0:8.1f}s  "
+              f"{len(aligned)} alignments", quiet)
+        with open(aligned_path, "w") as f:
+            f.write("\n".join(aligned) + ("\n" if aligned else ""))
+        open(_ok("aligned"), "w").close()
 
     t0 = time.time()
     final_rows = reporter.stats_rows(aligned, fr, cfg)
