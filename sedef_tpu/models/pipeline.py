@@ -33,28 +33,64 @@ from .aligner import fast_align
 from .seeder import initial_search
 
 
+class IndexCache:
+    """Per-(chromosome, strand) MinimizerIndex cache shared across pair
+    jobs.  The reference re-indexes in every one of its ~n(n+1) processes
+    (search_main.cc:155-168); a single in-process run only needs each
+    chromosome indexed once per strand.  Thread-safe for the -j fan-out."""
+
+    def __init__(self, fr: FastaReference, cfg: Config,
+                 use_device: bool = False):
+        self.fr = fr
+        self.cfg = cfg
+        self.use_device = use_device
+        self._cache: dict[tuple[str, bool], MinimizerIndex] = {}
+        import threading
+        self._lock = threading.Lock()
+        self._building: dict[tuple[str, bool], object] = {}
+
+    def get(self, name: str, is_rc: bool) -> MinimizerIndex:
+        import threading
+        key = (name, is_rc)
+        with self._lock:
+            idx = self._cache.get(key)
+            if idx is not None:
+                return idx
+            ev = self._building.get(key)
+            if ev is None:
+                ev = threading.Event()
+                self._building[key] = ev
+                builder = True
+            else:
+                builder = False
+        if not builder:
+            ev.wait()
+            with self._lock:
+                return self._cache[key]
+        idx = MinimizerIndex(
+            PackedSeq(name, self.fr.get_sequence(name), is_rc=is_rc),
+            self.cfg.search.kmer_size, self.cfg.search.window_size,
+            use_device=self.use_device)
+        with self._lock:
+            self._cache[key] = idx
+            del self._building[key]
+        ev.set()
+        return idx
+
+
 def search_job(fr: FastaReference, query_chrs: list[str],
                ref_chrs: list[str], is_rc: bool, cfg: Config = DEFAULT,
-               use_device: bool = False) -> list[str]:
+               use_device: bool = False,
+               cache: "IndexCache | None" = None) -> list[str]:
     """One stage-1 job: all query x ref chromosome pairs of two super-bins
     on one strand (search_main.cc:122-196).  Returns seed BED lines."""
-    indices: dict[tuple[str, bool], MinimizerIndex] = {}
-    for r in ref_chrs:
-        seq = fr.get_sequence(r)
-        indices[(r, is_rc)] = MinimizerIndex(
-            PackedSeq(r, seq, is_rc=is_rc), cfg.search.kmer_size,
-            cfg.search.window_size, use_device=use_device)
-    for q in query_chrs:
-        if (q, False) not in indices:
-            seq = fr.get_sequence(q)
-            indices[(q, False)] = MinimizerIndex(
-                PackedSeq(q, seq), cfg.search.kmer_size,
-                cfg.search.window_size, use_device=use_device)
+    if cache is None:
+        cache = IndexCache(fr, cfg, use_device)
     lines: list[str] = []
     for r in ref_chrs:
-        rh = indices[(r, is_rc)]
+        rh = cache.get(r, is_rc)
         for q in query_chrs:
-            qh = indices[(q, False)]
+            qh = cache.get(q, False)
             same_genome = (q == r) and not is_rc
             hits = initial_search(qh, rh, same_genome, cfg)
             lines.extend(h.to_bed() for h in hits)
@@ -75,15 +111,17 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
             for j in range(nbins)
             for i in range(j, nbins)
             for is_rc in (False, True)]
+    cache = IndexCache(fr, cfg, use_device)
     if jobs <= 1:
-        results = [search_job(fr, bins[i], bins[j], is_rc, cfg, use_device)
+        results = [search_job(fr, bins[i], bins[j], is_rc, cfg, use_device,
+                              cache)
                    for (i, j, is_rc) in todo]
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as ex:
             results = list(ex.map(
                 lambda t: search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
-                                     use_device), todo))
+                                     use_device, cache), todo))
     lines: list[str] = []
     for (i, j, is_rc), job in zip(todo, results):
         lines.extend(job)
