@@ -109,34 +109,47 @@ def gap_split(h: Hit, cfg: Config = DEFAULT) -> list[Hit]:
     return [h]
 
 
+def _n_run_events(arr: np.ndarray, min_gap: int) -> list[tuple[int, int]]:
+    """(end_index, run_len) for N-runs >= min_gap that END at a non-N
+    column (open-ended trailing runs never fire, like the reference's
+    per-column reset logic)."""
+    is_n = arr == _N
+    if not is_n.any():
+        return []
+    d = np.diff(is_n.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if is_n[0]:
+        starts = np.concatenate([[0], starts])
+    if is_n[-1]:
+        ends = np.concatenate([ends, [len(arr)]])  # trailing run: no event
+        starts, ends = starts[:-1], ends[:-1]
+    out = []
+    for st, en in zip(starts.tolist(), ends.tolist()):
+        if en - st >= min_gap:
+            out.append((en, en - st))
+    return out
+
+
 def split_alignment(h: Hit, cfg: Config = DEFAULT) -> list[Hit]:
-    """Split at >=100 bp N-runs in either mate (stats_main.cc:159-211)."""
+    """Split at >=100 bp N-runs in either mate (stats_main.cc:159-211).
+
+    Vectorized: the reference's per-column scan fires a split exactly at
+    the first non-N column after a long run, a-runs checked before b-runs
+    within the same column."""
     hits: list[Hit] = []
     ga = np.frombuffer(h.aln.align_a.upper().encode(), dtype=np.uint8)
     gb = np.frombuffer(h.aln.align_b.upper().encode(), dtype=np.uint8)
-    n = len(ga)
     min_gap = cfg.stats.min_assembly_gap_size
-    prev_an = prev_bn = 0
+    events = ([(i, 0, ln) for i, ln in _n_run_events(ga, min_gap)]
+              + [(i, 1, ln) for i, ln in _n_run_events(gb, min_gap)])
+    events.sort()  # by end index; a (tag 0) before b (tag 1) per column
     hit_begin = 0
-    for i in range(n):
-        if ga[i] == _N:
-            prev_an += 1
-        else:
-            if prev_an >= min_gap:
-                hh = subhit(h, hit_begin, i - prev_an)
-                if hh is not None:
-                    hits.append(hh)
-                hit_begin = i
-            prev_an = 0
-        if gb[i] == _N:
-            prev_bn += 1
-        else:
-            if prev_bn >= min_gap:
-                hh = subhit(h, hit_begin, i - prev_bn)
-                if hh is not None:
-                    hits.append(hh)
-                hit_begin = i
-            prev_bn = 0
+    for (i, _, run_len) in events:
+        hh = subhit(h, hit_begin, i - run_len)
+        if hh is not None:
+            hits.append(hh)
+        hit_begin = i
     if not hit_begin:
         hits.append(h)
     else:
