@@ -24,6 +24,7 @@ std::string rc(const std::string &s) {
 double tau(double d, int k) { return 0; }
 int relaxed_jaccard_estimate(int s, int k, std::unordered_map<int,int>&mm) { return 0; }
 int main(int argc, char **argv) {
+  if (argc > 3) Globals::Stats::MAX_OK_GAP = atoi(argv[3]);
   stats(argv[1], argv[2]);
   return 0;
 }
