@@ -8,9 +8,15 @@ direction-matrix fill, SEDEF scoring (5/-4/40/1), full band, traceback
 matrix streamed to HBM — the equivalent of the reference's
 ksw2_extz2_sse hot kernel (extern/ksw2_extz2_sse.cc).
 
+Methodology: N kernel invocations are CHAINED inside one jit with a
+data dependency and an in-graph checksum, so (a) the kernels cannot be
+elided or returned as unfinished async handles, and (b) the host<->device
+round trip (~30 ms on this tunneled setup) is amortized.  Naive
+dispatch-loop timing inflates the number ~300x on this environment.
+
 Baseline: 1.17 GCUPS = reference ksw2 extz2_sse measured single-core on
 this machine (L=1024 global alignments with traceback, -O3 -msse4.1; see
-tools/ksw_bench notes in repo history).
+tools/oracles/ksw_bench.cc).
 """
 
 import json
@@ -23,38 +29,42 @@ KSW2_SINGLE_CORE_GCUPS = 1.17
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
-    from sedef_tpu.ops.wavefront import (_padded_rows,
-                                         wavefront_pallas_batch,
+    from sedef_tpu.ops.wavefront import (_padded_rows, wavefront_device,
                                          wavefront_scan_batch)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     L = 1024
-    B = 32 if on_tpu else 2
+    B = 64 if on_tpu else 2
+    N = 64 if on_tpu else 2      # chained kernel invocations per round trip
+    reps = 2
     rng = np.random.default_rng(0)
     n_rows = _padded_rows(L, L)
-    q = rng.integers(0, 4, (B, n_rows)).astype(np.int32)
-    t = rng.integers(0, 4, (B, L)).astype(np.int8)
-    qd = jax.device_put(q)
-    td = jax.device_put(t)
+    q = jax.device_put(rng.integers(0, 4, (B, n_rows)).astype(np.int32))
+    t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8))
 
-    def run():
-        if on_tpu:
-            return wavefront_pallas_batch(qd, td, L, L)
-        return wavefront_scan_batch(qd, td, L, L)
+    @jax.jit
+    def run_chain(q, t):
+        def body(i, acc):
+            q2 = q.at[:, 0].set((acc % 4).astype(jnp.int32))
+            if on_tpu:
+                p = wavefront_device(q2, t, L, L)
+            else:
+                p = wavefront_scan_batch(q2, t, L, L)
+            return acc + p.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, N, body, jnp.int32(0))
 
-    # warmup / compile
-    out = run()
-    jax.block_until_ready(out)
+    int(run_chain(q, t))  # warmup / compile
 
-    reps = 8 if on_tpu else 1
     t0 = time.perf_counter()
+    acc = 0
     for _ in range(reps):
-        out = run()
-    jax.block_until_ready(out)
+        acc += int(run_chain(q, t))
     dt = time.perf_counter() - t0
+    assert acc != 0
 
-    cells = float(B) * L * L * reps
+    cells = float(B) * L * L * N * reps
     gcups = cells / dt / 1e9
     print(json.dumps({
         "metric": "wavefront_dp_gcups" + ("" if on_tpu else "_cpu_fallback"),

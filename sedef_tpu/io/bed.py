@@ -68,7 +68,8 @@ class Hit:
     def from_wgac(cls, line: str) -> "Hit":
         """Parse a WGAC table row (hit.cc:99-118)."""
         ss = line.rstrip("\n").split("\t")
-        assert len(ss) >= 27
+        if len(ss) < 27:
+            raise ValueError(f"WGAC row needs >= 27 columns, got {len(ss)}")
         h = cls(SeqRef(ss[0], False), int(ss[1]), int(ss[2]),
                 SeqRef(ss[6], ss[5][0] != "+"), int(ss[7]), int(ss[8]),
                 name=ss[16],

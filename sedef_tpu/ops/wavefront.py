@@ -197,22 +197,24 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
                            chunk: int = 256, interpret: bool = False):
     """Batched direction-matrix computation on TPU.
 
-    qcodes: (B, n_chunks*chunk) int32 query codes (wildcard padded) — read
-            as per-row scalars from SMEM; the per-row query vector
-            qrow[t] = query[r - t] is carried in VMEM scratch via a
-            roll-by-one + scalar insert (Mosaic only allows 128-aligned
-            dynamic lane slices, so a sliding VMEM window is not lowerable).
-            Internally reshaped to (B, n_chunks, chunk) so the SMEM block's
-            last two dims equal the array dims (Mosaic block-shape rule).
-    tgt:  (B, S_t) int8 target codes (wildcard padded); reshaped to
-          (B, 1, S_t) internally for the same block-shape rule
-    returns p: (B, n_chunks*chunk, S_t) uint8, rows beyond
-    S_q + S_t - 1 are garbage.
+    Eight problems are packed into the VPU sublane dimension — every
+    (8, S_t) vector op advances one anti-diagonal of eight independent
+    alignments, so the 8x128 VPU is fully occupied (a (1, S_t) row-per-op
+    formulation wastes 7/8 of it).
+
+    qcodes: (B, n_chunks*chunk) int32 query codes (wildcard padded), B a
+            multiple of 8; per-row scalars live in SMEM and are inserted
+            into a rolled VMEM qrow carry (Mosaic only allows 128-aligned
+            dynamic lane slices, so a sliding window is not lowerable).
+    tgt:  (B, S_t) int8 target codes (wildcard padded)
+    returns p: (B//8, n_chunks*chunk, 8, S_t) uint8 — problem b lives at
+    [b // 8, :, b % 8, :]; rows beyond S_q + S_t - 1 are garbage.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = tgt.shape[0]
+    assert B % 8 == 0, "pad the batch to a multiple of 8"
     n_diag = S_q + S_t - 1
     chunk = _chunk_for(S_q, S_t, chunk)
     n_chunks = (n_diag + chunk - 1) // chunk
@@ -220,8 +222,9 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
     qe2 = 2 * qe
     max_sc = match + qe2
 
-    def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref, qrow_ref):
-        # qc_ref: (1, n_chunks, chunk) SMEM scalars
+    def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref,
+               qrow_ref):
+        # qc_ref: (8, n_chunks, chunk) SMEM scalars
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -232,12 +235,13 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             y_ref[:] = jnp.zeros_like(y_ref)
             qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
 
-        tq = tgt_ref[0].astype(jnp.int32)                  # (1, S_t)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S_t), 1)
-        UNROLL = 8  # rows per aligned output store
+        tq = tgt_ref[:].astype(jnp.int32)                  # (8, S_t)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, S_t), 1)
 
-        def one_row(r, rr):
-            q_r = qc_ref[0, c, rr]                         # SMEM scalar
+        def body(rr, _):
+            r = c * chunk + rr
+            q_r = jnp.stack([qc_ref[sb, c, rr] for sb in range(8)]
+                            ).reshape(8, 1)                # per-problem code
             qrow = jnp.where(lane == 0, q_r,
                              pltpu.roll(qrow_ref[:], 1, axis=1))
             qrow_ref[:] = qrow
@@ -249,10 +253,8 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             x0 = x_ref[:]
             y0 = y_ref[:]
             bq = jnp.where(r > 0, gapo, 0)
-            # boundary at lane t == r of previous state
             ub = jnp.where(lane == r, bq, u0)
             yb = jnp.where(lane == r, 0, y0)
-            # shifted x/v with (x1, v1) = (0, bq) entering at lane 0
             xs = jnp.where(lane == 0, 0, pltpu.roll(x0, 1, axis=1))
             vs = jnp.where(lane == 0, bq, pltpu.roll(v0, 1, axis=1))
 
@@ -271,44 +273,36 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             b2 = b - z2
             x_ref[:] = jnp.maximum(a2, 0)
             y_ref[:] = jnp.maximum(b2, 0)
-            # int32 bit assembly (i8 vector shifts don't lower on Mosaic)
             d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
-            return d.astype(jnp.uint8)  # (1, S_t)
-
-        def body(kk, _):
-            # UNROLL rows per step so the output store lands on an
-            # 8-row-aligned sublane offset (Mosaic vector-store constraint)
-            base = kk * UNROLL
-            rows = [one_row(c * chunk + base + j, base + j)
-                    for j in range(UNROLL)]
-            blk = jnp.concatenate(rows, axis=0)            # (UNROLL, S_t)
-            out_ref[0, pl.ds(pl.multiple_of(base, UNROLL), UNROLL), :] = blk
+            # dynamic index on dim -3 is unconstrained; last two dims are
+            # the full (8, S_t) tile
+            out_ref[0, rr, :, :] = d.astype(jnp.uint8)
             return 0
 
-        jax.lax.fori_loop(0, chunk // UNROLL, body, 0)
+        jax.lax.fori_loop(0, chunk, body, 0)
 
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_chunks),
+        grid=(B // 8, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, n_chunks, chunk), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((8, n_chunks, chunk), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, S_t), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((8, S_t), lambda b, c: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, S_t), lambda b, c: (b, c, 0),
+        out_specs=pl.BlockSpec((1, chunk, 8, S_t), lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_chunks * chunk, S_t), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((B // 8, n_chunks * chunk, 8, S_t),
+                                       jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((1, S_t), jnp.int32),
-            pltpu.VMEM((1, S_t), jnp.int32),
-            pltpu.VMEM((1, S_t), jnp.int32),
-            pltpu.VMEM((1, S_t), jnp.int32),
-            pltpu.VMEM((1, S_t), jnp.int32),
+            pltpu.VMEM((8, S_t), jnp.int32),
+            pltpu.VMEM((8, S_t), jnp.int32),
+            pltpu.VMEM((8, S_t), jnp.int32),
+            pltpu.VMEM((8, S_t), jnp.int32),
+            pltpu.VMEM((8, S_t), jnp.int32),
         ],
         interpret=interpret,
-    )(qcodes.reshape(qcodes.shape[0], n_chunks, chunk),
-      tgt.reshape(tgt.shape[0], 1, S_t))
+    )(qcodes.reshape(qcodes.shape[0], n_chunks, chunk), tgt)
     return out
 
 
@@ -386,7 +380,7 @@ def _chunk_for(S_q: int, S_t: int, chunk: int = 256) -> int:
     output block stays ~<=512 KB of VMEM, floored to the 8-row store
     alignment, and never a single chunk (a JAX interpret-mode bug
     miscompares scalars derived from size-1 grid dims)."""
-    c = max(8, min(chunk, (512 * 1024 // max(S_t, 1)) // 8 * 8))
+    c = max(8, min(chunk, (512 * 1024 // (8 * max(S_t, 1))) // 8 * 8))
     n_diag = S_q + S_t - 1
     if (n_diag + c - 1) // c == 1:
         c = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
@@ -398,6 +392,22 @@ def _padded_rows(S_q: int, S_t: int, chunk: int = 256) -> int:
     c = _chunk_for(S_q, S_t, chunk)
     n_diag = S_q + S_t - 1
     return ((n_diag + c - 1) // c) * c
+
+
+def wavefront_device(qcodes, tgt, S_q: int, S_t: int, **kw):
+    """Pallas kernel with (B, n_rows, S_t) output layout (pads B to a
+    multiple of 8 and unpacks the sublane dimension)."""
+    B = tgt.shape[0]
+    B8 = ((B + 7) // 8) * 8
+    if B8 != B:
+        qcodes = jnp.concatenate(
+            [qcodes, jnp.full((B8 - B, qcodes.shape[1]), WILDCARD,
+                              qcodes.dtype)])
+        tgt = jnp.concatenate(
+            [tgt, jnp.full((B8 - B, S_t), WILDCARD, tgt.dtype)])
+    p = wavefront_pallas_batch(qcodes, tgt, S_q, S_t, **kw)
+    n_rows = p.shape[1]
+    return jnp.transpose(p, (0, 2, 1, 3)).reshape(B8, n_rows, S_t)[:B]
 
 
 class WavefrontAligner:
@@ -512,9 +522,9 @@ class WavefrontAligner:
             groups.setdefault(key, []).append(idx)
 
         for (S_q, S_t), idxs in groups.items():
-            # batch padded to a power of two so each (B, S_q, S_t) shape
-            # compiles once per session
-            B = 1
+            # batch padded to a power of two (>= 8 for the sublane packing)
+            # so each (B, S_q, S_t) shape compiles once per session
+            B = 8
             while B < len(idxs):
                 B <<= 1
             n_rows = _padded_rows(S_q, S_t)
@@ -530,7 +540,8 @@ class WavefrontAligner:
                 interpret=self.interpret))
             for bi, idx in enumerate(idxs):
                 qc, tc = pairs[idx]
-                results[idx] = backtrack_np(p_all[bi], len(qc), len(tc))
+                results[idx] = backtrack_np(p_all[bi // 8, :, bi % 8, :],
+                                            len(qc), len(tc))
         return results
 
     def align_strings(self, a: str, b: str) -> list[tuple[str, int]]:

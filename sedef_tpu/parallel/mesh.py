@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.filter import QG, QSZ
-from ..ops.wavefront import (_padded_rows, wavefront_pallas_batch,
+from ..ops.wavefront import (_padded_rows, wavefront_device,
                              wavefront_scan_batch)
 
 
@@ -89,7 +89,7 @@ def build_multichip_step(mesh: Mesh, S_q: int, S_t: int,
         passed = qg >= minqg.reshape(())
 
         if use_pallas:
-            p = wavefront_pallas_batch(qcodes, tgt, S_q, S_t)
+            p = wavefront_device(qcodes, tgt, S_q, S_t)
         else:
             p = wavefront_scan_batch(qcodes, tgt, S_q, S_t)
         p = p[:, :n_rows]

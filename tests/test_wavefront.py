@@ -89,12 +89,12 @@ def test_pallas_direction_rows_match_numpy():
     q = rng.integers(0, 4, ql).astype(np.int8)
     t = rng.integers(0, 4, tl).astype(np.int8)
     S_q = S_t = 128
-    qcodes = np.full((1, _padded_rows(S_q, S_t)), 4, dtype=np.int32)
-    qcodes[0, :ql] = q
-    tpad = np.full((1, S_t), 4, dtype=np.int8)
-    tpad[0, :tl] = t
+    qcodes = np.full((8, _padded_rows(S_q, S_t)), 4, dtype=np.int32)
+    qcodes[3, :ql] = q  # park the real problem in sublane 3
+    tpad = np.full((8, S_t), 4, dtype=np.int8)
+    tpad[3, :tl] = t
     p_dev = np.asarray(wavefront_pallas_batch(
-        qcodes, tpad, S_q, S_t, interpret=True))[0]
+        qcodes, tpad, S_q, S_t, interpret=True))[0, :, 3, :]
     p_ref, _ = wavefront_np(q, t)
     # compare only the valid triangle lanes of the real problem
     for r in range(ql + tl - 1):
