@@ -534,6 +534,17 @@ class WavefrontAligner:
                 qc, tc = pairs[idx]
                 qcodes[bi, :len(qc)] = qc
                 tgts[bi, :len(tc)] = tc
+            if jax.default_backend() == "cpu" and not self.interpret:
+                # Pallas does not lower on the CPU backend; the scan
+                # variant is the compiled-CPU device path
+                p_flat = np.asarray(wavefront_scan_batch(
+                    jnp.asarray(qcodes), jnp.asarray(tgts), S_q, S_t,
+                    self.match, self.mis, self.gapo, self.gape))
+                for bi, idx in enumerate(idxs):
+                    qc, tc = pairs[idx]
+                    results[idx] = backtrack_np(p_flat[bi], len(qc),
+                                                len(tc))
+                continue
             p_all = np.asarray(wavefront_pallas_batch(
                 jnp.asarray(qcodes), jnp.asarray(tgts), S_q, S_t,
                 self.match, self.mis, self.gapo, self.gape,

@@ -43,7 +43,7 @@ t_bucket = time.time() - t0
 nb = sum(len(b) for b in buckets)
 print(f"stage2a bucket: {t_bucket:7.1f}s  ({nb} regions)")
 
-al = WavefrontAligner(use_tpu=(not cpu_align) or None) if not cpu_align else WavefrontAligner(use_tpu=False)
+al = WavefrontAligner(use_tpu=False) if cpu_align else WavefrontAligner()
 t0 = time.time()
 aligned = []
 for b in buckets:
