@@ -753,6 +753,29 @@ int64_t sedef_backtrack(const uint8_t *p, int64_t stride, int32_t qlen,
 
 // q/t: alignment-alphabet codes (0..3, 4=wildcard).  Emits CIGAR runs;
 // returns run count or -1 on overflow.
+//
+// Explicit 64-lane int8 SIMD (GCC vector extensions -> AVX-512BW): the
+// same difference recurrence as the Pallas kernel / ksw2, whose range
+// invariants keep every value within int8.  State rows carry one guard
+// byte before index 0 so the shifted reads xs[i] = x_prev[i-1] are plain
+// unaligned loads; rows are padded 64 wide so blocks never mask.
+typedef int8_t v64 __attribute__((vector_size(64), aligned(1)));
+
+static inline v64 v_load(const int8_t *p) {
+  v64 v;
+  __builtin_memcpy(&v, p, 64);
+  return v;
+}
+static inline void v_store(int8_t *p, v64 v) { __builtin_memcpy(p, &v, 64); }
+static inline v64 v_splat(int8_t x) {
+  v64 v;
+  for (int i = 0; i < 64; i++) v[i] = x;
+  return v;
+}
+static inline v64 v_sel(v64 m, v64 a, v64 b) { return (m & a) | (~m & b); }
+static inline v64 v_max(v64 a, v64 b) { return v_sel(a > b, a, b); }
+static inline v64 v_min(v64 a, v64 b) { return v_sel(a < b, a, b); }
+
 int64_t sedef_align(const uint8_t *q, int32_t qlen, const uint8_t *t,
                     int32_t tlen, int match, int mis, int gapo, int gape,
                     uint8_t *ops_out, int32_t *lens_out, int64_t cap) {
@@ -761,24 +784,37 @@ int64_t sedef_align(const uint8_t *q, int32_t qlen, const uint8_t *t,
   const int qe2 = 2 * qe;
   const int max_sc = match + qe2;
   const int64_t n_diag = (int64_t)qlen + tlen - 1;
+  const int64_t W = (int64_t)tlen + 80;  // padded row width
 
-  // double-buffered rows with the shifted prev row precomputed (index i
-  // reads xs/vs at [i]) so the inner loop is dependency-free and
-  // auto-vectorizes; reversed query buffer gives contiguous q[r - i] reads
-  // int8 state (ksw2's difference-encoding range invariants keep every
-  // value within int8; int32 state would be 4x the memory traffic and this
-  // loop is bandwidth-bound)
-  std::vector<int8_t> u0(tlen, 0), v0(tlen, 0), x0(tlen, 0), y0(tlen, 0);
-  std::vector<int8_t> u1(tlen), v1b(tlen), x1b(tlen), y1b(tlen);
-  std::vector<int8_t> xs(tlen), vs(tlen);
+  // state rows with guard byte at [-1] (buffers offset by 1)
+  std::vector<int8_t> ub(W + 1, 0), vb(W + 1, 0), xb(W + 1, 0), yb(W + 1, 0);
+  std::vector<int8_t> ub2(W + 1, 0), vb2(W + 1, 0), xb2(W + 1, 0),
+      yb2(W + 1, 0);
+  int8_t *up = ub.data() + 1, *vp = vb.data() + 1, *xp = xb.data() + 1,
+         *yp = yb.data() + 1;
+  int8_t *uc = ub2.data() + 1, *vc = vb2.data() + 1, *xc = xb2.data() + 1,
+         *yc = yb2.data() + 1;
+
+  // padded target codes and reversed-padded query (qrow[i] = q[r - i])
+  std::vector<int8_t> tpad(W, 4);
+  for (int32_t i = 0; i < tlen; i++) tpad[i] = (int8_t)t[i];
+  std::vector<int8_t> qrev((size_t)qlen + 2 * W, 4);
+  for (int32_t jq = 0; jq < qlen; jq++)
+    qrev[(size_t)W + qlen - 1 - jq] = (int8_t)q[jq];
+
   std::vector<uint8_t> p((size_t)n_diag * tlen);
-  // qrev[x] = q[qlen-1-x]; row r reads q[r - i] = qrev[qlen-1-r+i]
-  std::vector<uint8_t> qrev((size_t)qlen + 2 * tlen, 4);
-  for (int32_t jq = 0; jq < qlen; jq++) qrev[tlen + qlen - 1 - jq] = q[jq];
 
-  int8_t *up = u0.data(), *vp = v0.data(), *xp = x0.data(), *yp = y0.data();
-  int8_t *uc = u1.data(), *vc = v1b.data(), *xc = x1b.data(),
-         *yc = y1b.data();
+  const v64 v_three = v_splat(3);
+  const v64 v_match = v_splat((int8_t)match);
+  const v64 v_mis = v_splat((int8_t)mis);
+  const v64 v_qe2 = v_splat((int8_t)qe2);
+  const v64 v_maxsc = v_splat((int8_t)max_sc);
+  const v64 v_gapo = v_splat((int8_t)gapo);
+  const v64 v_one = v_splat(1);
+  const v64 v_two = v_splat(2);
+  const v64 v_eight = v_splat(8);
+  const v64 v_sixteen = v_splat(16);
+  const v64 v_zero = v_splat(0);
 
   for (int64_t r = 0; r < n_diag; r++) {
     int32_t st0 = (int32_t)std::max<int64_t>(0, r - qlen + 1);
@@ -787,43 +823,47 @@ int64_t sedef_align(const uint8_t *q, int32_t qlen, const uint8_t *t,
       up[r] = (int8_t)(r > 0 ? gapo : 0);
       yp[r] = 0;
     }
-    // shifted prev row
-    xs[0] = 0;
-    vs[0] = (int8_t)(r > 0 ? gapo : 0);
-    if (en0 > 0) {
-      memcpy(&xs[1], &xp[0], (size_t)en0);
-      memcpy(&vs[1], &vp[0], (size_t)en0);
-    }
-    const uint8_t *qrow = &qrev[tlen + qlen - 1 - r];  // qrow[i] = q[r-i]
+    up[-1] = 0;  // unused lane of the b-path at i == 0 is overwritten by
+    yp[-1] = 0;  // the injection; guard values matter only for xs/vs
+    xp[-1] = 0;
+    vp[-1] = (int8_t)(r > 0 ? gapo : 0);
+
+    const int8_t *qrow = &qrev[(size_t)W + qlen - 1 - r];  // qrow[i]=q[r-i]
     uint8_t *pr = &p[(size_t)r * tlen];
-#pragma omp simd
-    for (int32_t i = st0; i <= en0; i++) {
-      int qc = qrow[i];
-      int tc = t[i];
-      int s = (qc >= 4 || tc >= 4) ? 0 : (qc == tc ? match : mis);
-      int z = s + qe2;
-      int a = (int)xs[i] + vs[i];
-      int b = (int)yp[i] + up[i];
-      uint8_t d = a > z ? 1 : 0;
-      z = a > z ? a : z;
-      d = b > z ? 2 : d;
-      z = b > z ? b : z;
-      z = z < max_sc ? z : max_sc;
-      uc[i] = (int8_t)(z - vs[i]);
-      vc[i] = (int8_t)(z - up[i]);
-      int z2 = z - gapo;
-      int a2 = a - z2;
-      int b2 = b - z2;
-      xc[i] = (int8_t)(a2 > 0 ? a2 : 0);
-      yc[i] = (int8_t)(b2 > 0 ? b2 : 0);
-      d |= (a2 > 0) ? 8 : 0;
-      d |= (b2 > 0) ? 16 : 0;
-      pr[i] = d;
+    for (int32_t i = st0; i <= en0; i += 64) {
+      v64 qc = v_load(qrow + i);
+      v64 tc = v_load(tpad.data() + i);
+      v64 wild = (qc > v_three) | (tc > v_three);
+      v64 sc = ~wild & v_sel(qc == tc, v_match, v_mis);
+      v64 xs = v_load(xp + i - 1);
+      v64 vs = v_load(vp + i - 1);
+      v64 uprev = v_load(up + i);
+      v64 yprev = v_load(yp + i);
+      v64 z = sc + v_qe2;
+      v64 a = xs + vs;
+      v64 b = yprev + uprev;
+      v64 d = (a > z) & v_one;
+      z = v_max(z, a);
+      d = v_sel(b > z, v_two, d);
+      z = v_max(z, b);
+      z = v_min(z, v_maxsc);
+      v_store(uc + i, z - vs);
+      v_store(vc + i, z - uprev);
+      v64 z2 = z - v_gapo;
+      v64 a2 = a - z2;
+      v64 b2 = b - z2;
+      v_store(xc + i, v_max(a2, v_zero));
+      v_store(yc + i, v_max(b2, v_zero));
+      d |= (a2 > v_zero) & v_eight;
+      d |= (b2 > v_zero) & v_sixteen;
+      // clip the store to the real row width (p rows are not padded)
+      int n = en0 + 1 - i;
+      if (n >= 64) {
+        __builtin_memcpy(pr + i, &d, 64);
+      } else {
+        __builtin_memcpy(pr + i, &d, n);
+      }
     }
-    // lanes outside [st0, en0] are never read by in-band cells: the
-    // st0-edge reads lane st0-1 which was in the previous row's band, and
-    // the en0 == r edge is re-injected each row — same garbage-isolation
-    // argument as the Pallas kernel.
     std::swap(up, uc);
     std::swap(vp, vc);
     std::swap(xp, xc);
