@@ -141,17 +141,13 @@ def bucket_stage(seed_lines: list[str], fr: FastaReference,
             lookup[name] = bi
 
     tmp: dict[tuple[int, int], list[Hit]] = defaultdict(list)
-    tmp_order: list[tuple[int, int]] = []
     for line in seed_lines:
         if not line.strip():
             continue
         h, _ = Hit.from_bed(line)
         h.extend(cfg.extend.ratio, cfg.extend.max_extend)
         canonical_swap(h)
-        key = (lookup[h.query.name], lookup[h.ref.name])
-        if key not in tmp:
-            tmp_order.append(key)
-        tmp[key].append(h)
+        tmp[(lookup[h.query.name], lookup[h.ref.name])].append(h)
 
     # the reference iterates its tmp-file map in lexicographic filename
     # order; numeric key order matches for < 10 bins, which covers the

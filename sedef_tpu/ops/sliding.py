@@ -21,7 +21,7 @@ device formulation lives in ``jaccard_batch.py``.
 
 from __future__ import annotations
 
-from bisect import bisect_left, insort
+from bisect import bisect_left
 
 from ..config import DEFAULT, Config
 from .stat_model import relaxed_jaccard_estimate
