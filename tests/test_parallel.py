@@ -78,3 +78,64 @@ def test_distributed_degenerate(tmp_path):
                                      nbuckets=2, aligner=al)
     rows = open(paths["final"]).read().splitlines()
     assert len(rows) >= 2  # header + the planted identical pair
+
+
+def test_distributed_two_processes(tmp_path):
+    """Real 2-process jax.distributed run: final.bed must be byte-identical
+    to the single-process pipeline."""
+    import subprocess
+    import sys
+    import textwrap
+
+    rng = np.random.default_rng(17)
+    bg = rng.choice(np.array(list("acgt")), 30000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 1500))
+    chrom = ("".join(bg[:4000]) + seg + "".join(bg[4000:14000]) + seg
+             + "".join(bg[14000:]))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chrZ\n")
+        for i in range(0, len(chrom), 70):
+            f.write(chrom[i:i + 70] + "\n")
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {str(pathlib_repo_root())!r})
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from sedef_tpu.parallel.distributed import (init_distributed,
+                                                    run_pipeline_distributed)
+        from sedef_tpu.ops.wavefront import WavefrontAligner
+        pid = int(sys.argv[1])
+        init_distributed("localhost:" + sys.argv[2], 2, pid)
+        run_pipeline_distributed({str(fa)!r}, {str(tmp_path / 'outd')!r},
+                                 nbuckets=2,
+                                 aligner=WavefrontAligner(use_tpu=False))
+    """))
+    import socket
+    sock = socket.socket()
+    sock.bind(("localhost", 0))
+    port = str(sock.getsockname()[1])
+    sock.close()
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        assert p.returncode == 0, out.decode()[-2000:]
+
+    from sedef_tpu.models.pipeline import run_pipeline
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    single = run_pipeline(str(fa), str(tmp_path / "outs"), nbuckets=2,
+                          aligner=WavefrontAligner(use_tpu=False))
+    assert (open(tmp_path / "outd" / "final.bed").read()
+            == open(single["final"]).read())
+
+
+def pathlib_repo_root():
+    import pathlib
+    return str(pathlib.Path(__file__).resolve().parent.parent)
