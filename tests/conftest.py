@@ -27,6 +27,19 @@ import pathlib
 
 import pytest
 
+# build the native runtime on fresh checkouts (tests pass without it via
+# the Python fallbacks, but exercise the production dispatch when g++ is
+# available)
+_so = (pathlib.Path(__file__).parent.parent / "sedef_tpu" / "native"
+       / "libsedef_native.so")
+if not _so.exists():
+    try:
+        from sedef_tpu.native.build import build
+
+        build(verbose=False)
+    except Exception:
+        pass
+
 FIXTURES = pathlib.Path(__file__).parent / "fixtures"
 
 
