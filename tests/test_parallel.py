@@ -115,18 +115,35 @@ def test_distributed_two_processes(tmp_path):
                                  nbuckets=2,
                                  aligner=WavefrontAligner(use_tpu=False))
     """))
+    import shutil
     import socket
-    sock = socket.socket()
-    sock.bind(("localhost", 0))
-    port = str(sock.getsockname()[1])
-    sock.close()
-    procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT)
-             for i in range(2)]
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        assert p.returncode == 0, out.decode()[-2000:]
+
+    def fresh_port():
+        sock = socket.socket()
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
+        sock.close()
+        return port
+
+    # Coordinator init can flake under full-suite load (port race / slow
+    # barrier when the host is contended); retry once on a fresh port.
+    last_out = ""
+    for attempt in range(2):
+        shutil.rmtree(tmp_path / "outd", ignore_errors=True)
+        port = fresh_port()
+        procs = [subprocess.Popen([sys.executable, str(worker), str(i), port],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT)
+                 for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode()[-2000:])
+        if all(p.returncode == 0 for p in procs):
+            break
+        last_out = "\n---\n".join(outs)
+    else:
+        raise AssertionError(f"2-process run failed twice:\n{last_out}")
 
     from sedef_tpu.models.pipeline import run_pipeline
     from sedef_tpu.ops.wavefront import WavefrontAligner
