@@ -113,26 +113,46 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
     q_isn = qU == ord("N")
     r_isn = rU == ord("N")
 
-    # exact-match run end per candidate (suffix compare, vectorized per
-    # candidate; candidates are few)
-    anchors: list[Anchor] = []
-    runs = []
-    for q0, r0 in zip(cq.tolist(), cr.tolist()):
-        n = min(qlen - q0, rlen - r0)
-        m = ((qU[q0:q0 + n] == rU[r0:r0 + n])
-             & ~q_isn[q0:q0 + n] & ~r_isn[r0:r0 + n])
-        bad = np.nonzero(~m)[0]
-        ln = int(bad[0]) if len(bad) else n
-        has_u = bool((up_any[q0:q0 + ln] | r_up[r0:r0 + ln]).any())
-        runs.append((ln, int(has_u)))
+    # exact-match run length per candidate: extend ALL candidates in
+    # lockstep, 64-byte chunks, via fancy-indexed gathers (a per-candidate
+    # suffix compare is O(candidates x run) with Python overhead per
+    # candidate; this is O(candidates x run/64) pure numpy)
+    CH = 64
+    # pads chosen to always mismatch each other and to read as "N"
+    q_cmp = np.where(q_isn, np.uint8(1), qU)
+    r_cmp = np.where(r_isn, np.uint8(2), rU)
+    q_cmp = np.concatenate([q_cmp, np.full(CH, 1, np.uint8)])
+    r_cmp = np.concatenate([r_cmp, np.full(CH, 2, np.uint8)])
+    nmax = np.minimum(qlen - cq, rlen - cr)
+    ln_all = np.zeros(len(cq), dtype=np.int64)
+    alive = np.arange(len(cq))
+    t = 0
+    col = np.arange(CH)
+    while alive.size:
+        qa, ra = cq[alive], cr[alive]
+        m = (q_cmp[np.minimum(qa[:, None] + t + col, qlen + CH - 1)]
+             == r_cmp[np.minimum(ra[:, None] + t + col, rlen + CH - 1)])
+        m &= (t + col) < nmax[alive, None]
+        full = m.all(axis=1)
+        first = np.where(full, CH, m.argmin(axis=1))
+        ln_all[alive] += first
+        alive = alive[full & (t + CH < nmax[alive])]
+        t += CH
+
+    # has_u from uppercase prefix sums over both mates
+    pu_q = np.concatenate([[0], np.cumsum(up_any)])
+    pu_r = np.concatenate([[0], np.cumsum(r_up)])
+    has_u_all = ((pu_q[cq + ln_all] - pu_q[cq])
+                 + (pu_r[cr + ln_all] - pu_r[cr])) > 0
 
     # per-diagonal slide pass in (diag, q) order (chain.cc:64-98)
+    anchors: list[Anchor] = []
     slide: dict[int, int] = {}
-    for (q0, r0, d), (ln, has_u) in zip(
-            zip(cq.tolist(), cr.tolist(), cd.tolist()), runs):
+    for q0, r0, d, ln, has_u in zip(cq.tolist(), cr.tolist(), cd.tolist(),
+                                    ln_all.tolist(), has_u_all.tolist()):
         if q0 >= slide.get(d, -1):
             assert ln >= kmer_size
-            anchors.append(Anchor(q0, r0, ln, has_u))
+            anchors.append(Anchor(q0, r0, ln, int(has_u)))
             slide[d] = q0 + ln
 
     # reference emission order: q ascending, then r ascending

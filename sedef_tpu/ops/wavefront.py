@@ -191,33 +191,53 @@ def backtrack_np(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:
 @functools.partial(
     jax.jit,
     static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape", "chunk",
-                     "interpret"))
+                     "interpret", "G"))
 def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
                            mis: int = -4, gapo: int = 40, gape: int = 1,
-                           chunk: int = 256, interpret: bool = False):
+                           chunk: int = 256, interpret: bool = False,
+                           G: int = 1):
     """Batched direction-matrix computation on TPU.
 
     Eight problems are packed into the VPU sublane dimension — every
-    (8, S_t) vector op advances one anti-diagonal of eight independent
-    alignments, so the 8x128 VPU is fully occupied (a (1, S_t) row-per-op
-    formulation wastes 7/8 of it).
+    vector op advances one anti-diagonal of eight independent alignments —
+    and, for small size classes, G more along the lane dimension (a
+    (8, S_t) row with S_t < 1024 wastes the rest of the VPU row).  Lane
+    packing is *interleaved*: position t of lane-group g lives at lane
+    t*G + g, so the t-1 neighbour access is a roll by G and the t=0
+    boundary injection lands on the first G contiguous lanes.
 
-    qcodes: (B, n_chunks*chunk) int32 query codes (wildcard padded), B a
-            multiple of 8; per-row scalars live in SMEM and are inserted
+    qcodes: (B, >= n_diag) int32 query codes (wildcard padded), B a
+            multiple of 8*G; per-row scalars live in SMEM and are inserted
             into a rolled VMEM qrow carry (Mosaic only allows 128-aligned
             dynamic lane slices, so a sliding window is not lowerable).
     tgt:  (B, S_t) int8 target codes (wildcard padded)
-    returns p: (B//8, n_chunks*chunk, 8, S_t) uint8 — problem b lives at
-    [b // 8, :, b % 8, :]; rows beyond S_q + S_t - 1 are garbage.
+    returns p: (B//(8G), n_rows, 8, G*S_t) uint8 — problem b lives at
+    group b // (8G), sublane (b % (8G)) // G, lane-stride-class b % G;
+    rows beyond S_q + S_t - 1 are garbage.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = tgt.shape[0]
-    assert B % 8 == 0, "pad the batch to a multiple of 8"
+    assert B % (8 * G) == 0, "pad the batch to a multiple of 8*G"
+    W = G * S_t
     n_diag = S_q + S_t - 1
-    chunk = _chunk_for(S_q, S_t, chunk)
+    chunk = _chunk_for(S_q, S_t, chunk, width=W)
     n_chunks = (n_diag + chunk - 1) // chunk
+    n_rows = n_chunks * chunk
+    if qcodes.shape[1] < n_rows:
+        qcodes = jnp.concatenate(
+            [qcodes, jnp.full((B, n_rows - qcodes.shape[1]), WILDCARD,
+                              qcodes.dtype)], axis=1)
+    elif qcodes.shape[1] > n_rows:
+        qcodes = qcodes[:, :n_rows]
+    Bp = B // (8 * G)
+    if G == 1:
+        tgtp = tgt
+    else:
+        # problem j = pg*8G + s*G + g -> packed row pg*8 + s, lane t*G + g
+        tgtp = (tgt.reshape(Bp, 8, G, S_t).transpose(0, 1, 3, 2)
+                .reshape(Bp * 8, W))
     qe = gapo + gape
     qe2 = 2 * qe
     max_sc = match + qe2
@@ -232,7 +252,7 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
 
     def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref,
                qrow_ref):
-        # qc_ref: (8, n_chunks, chunk) SMEM scalars
+        # qc_ref: (8G, n_chunks, chunk) SMEM scalars
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -243,24 +263,30 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             y_ref[:] = jnp.zeros_like(y_ref)
             qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
 
-        tq = tgt_ref[:].astype(jnp.int32)                  # (8, S_t)
+        tq = tgt_ref[:].astype(jnp.int32)                  # (8, W)
         twild = tq >= 4                                    # loop-invariant
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, S_t), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
+        zpad = jnp.zeros((8, W - G), jnp.int32)
 
         def row(r, rr, st):
             u0, v0, x0, y0, qrow0 = st
-            q_r = jnp.stack([qc_ref[sb, c, rr] for sb in range(8)]
-                            ).reshape(8, 1)                # per-problem code
-            qrow = jnp.where(lane == 0, q_r, pltpu.roll(qrow0, 1, axis=1))
+            # per-problem injection codes: column g holds the 8 sublane
+            # problems of lane stride class g (Mosaic cannot reshape a
+            # flat 8G-vector into (8, G), so build per-column)
+            cols = [jnp.stack([qc_ref[s * G + g, c, rr] for s in range(8)]
+                              ).reshape(8, 1) for g in range(G)]
+            qpad = jnp.concatenate(cols + [zpad], axis=1)
+            qrow = jnp.where(lane < G, qpad, pltpu.roll(qrow0, G, axis=1))
             wild = jnp.logical_or(qrow >= 4, twild)
             sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
 
             bq = jnp.where(r > 0, gapo, 0)
-            onr = lane == r
+            rG = r * G
+            onr = (lane >= rG) & (lane < rG + G)
             ub = jnp.where(onr, bq, u0)
             yb = jnp.where(onr, 0, y0)
-            xs = jnp.where(lane == 0, 0, pltpu.roll(x0, 1, axis=1))
-            vs = jnp.where(lane == 0, bq, pltpu.roll(v0, 1, axis=1))
+            xs = jnp.where(lane < G, 0, pltpu.roll(x0, G, axis=1))
+            vs = jnp.where(lane < G, bq, pltpu.roll(v0, G, axis=1))
 
             z = sc + qe2
             a = xs + vs
@@ -295,27 +321,254 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
 
     out = pl.pallas_call(
         kernel,
-        grid=(B // 8, n_chunks),
+        grid=(Bp, n_chunks),
         in_specs=[
-            pl.BlockSpec((8, n_chunks, chunk), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((8 * G, n_chunks, chunk), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, S_t), lambda b, c: (b, 0),
+            pl.BlockSpec((8, W), lambda b, c: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, 8, S_t), lambda b, c: (b, c, 0, 0),
+        out_specs=pl.BlockSpec((1, chunk, 8, W), lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B // 8, n_chunks * chunk, 8, S_t),
-                                       jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_rows, 8, W), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((8, S_t), jnp.int32),
-            pltpu.VMEM((8, S_t), jnp.int32),
-            pltpu.VMEM((8, S_t), jnp.int32),
-            pltpu.VMEM((8, S_t), jnp.int32),
-            pltpu.VMEM((8, S_t), jnp.int32),
+            pltpu.VMEM((8, W), jnp.int32),
+            pltpu.VMEM((8, W), jnp.int32),
+            pltpu.VMEM((8, W), jnp.int32),
+            pltpu.VMEM((8, W), jnp.int32),
+            pltpu.VMEM((8, W), jnp.int32),
         ],
         interpret=interpret,
-    )(qcodes.reshape(qcodes.shape[0], n_chunks, chunk), tgt)
+    )(qcodes.reshape(B, n_chunks, chunk), tgtp)
     return out
+
+
+# ---------------------------------------------------------------------------
+# On-device traceback (reverse sweep, 8 walkers in sublanes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("S_q", "S_t", "chunk", "interpret"))
+def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
+                           interpret: bool = False):
+    """Traceback on device: only op bytes (1 per anti-diagonal) reach the
+    host instead of the full direction matrix (a ~S_t x reduction — the
+    decisive win when the device link is slow, and a PCIe-pass saved even
+    when it is not).
+
+    The walk is sequential per problem but rows are visited in strictly
+    decreasing r, so a reverse sweep over p's rows services all 8 sublane
+    walkers of a group in lockstep: each row is loaded once, the walker's
+    cell is extracted with a one-hot lane mask + row reduction, and the
+    ksw2 state machine (``ksw2.h:117-151``) advances in (8, 128) vector
+    registers (every lane of a walker row carries the same scalar).
+    For lane-packed fills (G > 1) each walker group services one lane
+    stride class g: walker (wg, s) reads lane i*G + g of packed group
+    wg // G.
+
+    p:  (B//(8G), n_rows, 8, G*S_t) uint8 from ``wavefront_pallas_batch``
+    ql: (B, 128) int32 — true query length, broadcast along lanes
+    tl: (B, 128) int32 — true target length
+    Returns ops: (B, n_rows) uint8, problem-major: op byte per
+    anti-diagonal row — 0 = M, 1 = I (consumes target), 2 = D (consumes
+    query), 255 = row not consumed by this walker.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = p.shape[3]
+    G = W // S_t
+    n_diag = S_q + S_t - 1
+    chunk = _chunk_for(S_q, S_t, chunk, width=W)
+    n_chunks = (n_diag + chunk - 1) // chunk
+    n_rows = n_chunks * chunk
+    Bp = p.shape[0]
+    B = Bp * 8 * G
+    if G > 1:
+        # deinterleave lanes t*G+g -> g*S_t+t (one cheap XLA pass over HBM)
+        # so each walker group reads a contiguous (8, S_t) block of its
+        # stride class instead of full (8, W) rows
+        p = (p.reshape(Bp, n_rows, 8, S_t, G).transpose(0, 1, 2, 4, 3)
+             .reshape(Bp, n_rows, 8, W))
+    # walker order: problem j = pg*8G + s*G + g -> walker row (pg*G + g)*8
+    # + s (one walker group per lane stride class)
+    pg_i = np.arange(Bp)[:, None, None]
+    g_i = np.arange(G)[None, :, None]
+    s_i = np.arange(8)[None, None, :]
+    j_of_wr = (pg_i * 8 * G + s_i * G + g_i).reshape(-1)
+    wr_of_j = np.empty(B, np.int64)
+    wr_of_j[j_of_wr] = np.arange(B)
+    qlw = jnp.take(ql, j_of_wr, axis=0).reshape(Bp, 8 * G, 128)
+    tlw = jnp.take(tl, j_of_wr, axis=0).reshape(Bp, 8 * G, 128)
+
+    def kernel(p_ref, ql_ref, tl_ref, out_ref, st_ref):
+        # all G stride classes of a packed group advance in one grid step:
+        # class g's walkers live in sublane block g of the state/out arrays
+        # and read the contiguous lane block [g*S_t, (g+1)*S_t) of each row
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            # walker state rows: 0 = i, 1 = j, 2 = state, 3 = unused
+            st_ref[0, :, :] = tl_ref[0] - 1
+            st_ref[1, :, :] = ql_ref[0] - 1
+            st_ref[2, :, :] = jnp.zeros_like(ql_ref[0])
+
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (8, S_t), 1)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
+        qlv = [ql_ref[0, 8 * g:8 * g + 8, :] for g in range(G)]
+        tlv = [tl_ref[0, 8 * g:8 * g + 8, :] for g in range(G)]
+
+        def row_one(r, rr, pslice, st, g):
+            i, j, state, acc = st
+            tmp = jnp.sum(jnp.where(lane_t == i[:, :1], pslice, 0),
+                          axis=1, keepdims=True)             # (8, 1)
+            tmp = jnp.broadcast_to(tmp, i.shape).astype(jnp.int32)
+            rv = jnp.full_like(i, r)
+            st0 = jnp.maximum(0, rv - qlv[g] + 1)
+            en0 = jnp.minimum(rv, tlv[g] - 1)
+            force = jnp.where(i < st0, 2, jnp.where(i > en0, 1, -1))
+            forced = force >= 0
+            tmp = jnp.where(forced, 0, tmp)
+            # if state==0: state = tmp&7; elif bit(state+2) unset: state =
+            # tmp&7 (via the reassign-on-zero); bit set: keep state
+            bit = ((tmp >> (state + 2)) & 1) > 0
+            s1 = jnp.where((state != 0) & bit, state, tmp & 7)
+            s1 = jnp.where(forced, force, s1)
+            # op: 0 -> M (i--, j--); 1/3 -> I (i--); 2 -> D (j--)
+            op = jnp.where(s1 == 0, 0, jnp.where(s1 == 2, 2, 1))
+            cons = (i >= 0) & (j >= 0) & (rv == i + j)
+            di = jnp.where(op != 2, 1, 0)
+            dj = jnp.where((op == 0) | (op == 2), 1, 0)
+            i = jnp.where(cons, i - di, i)
+            j = jnp.where(cons, j - dj, j)
+            state = jnp.where(cons, s1, state)
+            opb = jnp.where(cons[:, :1], op[:, :1], 255)
+            acc = jnp.where(lane_c == rr, opb, acc)
+            return (i, j, state, acc)
+
+        def body(k, sts):
+            rr = chunk - 1 - k
+            r = (n_chunks - 1 - c) * chunk + rr
+            prow = p_ref[0, rr, :, :].astype(jnp.int32)      # (8, W)
+            return tuple(
+                row_one(r, rr, prow[:, g * S_t:(g + 1) * S_t], sts[g], g)
+                for g in range(G))
+
+        sts0 = tuple(
+            (st_ref[0, 8 * g:8 * g + 8, :], st_ref[1, 8 * g:8 * g + 8, :],
+             st_ref[2, 8 * g:8 * g + 8, :],
+             jnp.full((8, chunk), 255, jnp.int32))
+            for g in range(G))
+        sts = jax.lax.fori_loop(0, chunk, body, sts0)
+        for g in range(G):
+            i, j, state, acc = sts[g]
+            st_ref[0, 8 * g:8 * g + 8, :] = i
+            st_ref[1, 8 * g:8 * g + 8, :] = j
+            st_ref[2, 8 * g:8 * g + 8, :] = state
+            out_ref[0, 0, 8 * g:8 * g + 8, :] = acc.astype(jnp.uint8)
+
+    ops = pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 8, W),
+                         lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * G, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8 * G, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 8 * G, chunk), lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_chunks, 8 * G, chunk),
+                                       jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((4, 8 * G, 128), jnp.int32)],
+        interpret=interpret,
+    )(p, qlw, tlw)
+    # normalize to problem-major (B, n_rows)
+    ops = ops.transpose(0, 2, 1, 3).reshape(B, n_rows)
+    return jnp.take(ops, wr_of_j, axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape",
+                     "interpret", "G"))
+def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
+                           match: int = 5, mis: int = -4, gapo: int = 40,
+                           gape: int = 1, interpret: bool = False,
+                           G: int = 1):
+    """Fused fill + traceback: the direction matrix never leaves HBM.
+
+    Host I/O is minimized for slow links: int8 inputs, scalar length
+    vectors, and a 2-bit-packed op stream out (the padding to kernel
+    layouts happens on device).
+
+    qseq: (B, S_q) int8 query codes (wildcard padded)
+    tgt:  (B, S_t) int8 target codes (wildcard padded)
+    ql, tl: (B,) int32 true lengths
+    Returns packed ops (B, n_rows // 4) uint8 — 2-bit codes, row r at
+    byte r // 4, bits 2*(r % 4): 0 = M, 1 = I, 2 = D, 3 = skipped row
+    (see ``cigar_from_packed_ops``).
+    """
+    n_rows = _padded_rows(S_q, S_t, width=G * S_t)
+    B = tgt.shape[0]
+    qcodes = jnp.concatenate(
+        [qseq.astype(jnp.int32),
+         jnp.full((B, n_rows - S_q), WILDCARD, jnp.int32)], axis=1)
+    qlb = jnp.broadcast_to(ql.reshape(B, 1), (B, 128))
+    tlb = jnp.broadcast_to(tl.reshape(B, 1), (B, 128))
+    p = wavefront_pallas_batch(qcodes, tgt, S_q, S_t, match, mis, gapo,
+                               gape, interpret=interpret, G=G)
+    ops = backtrack_pallas_batch(p, qlb, tlb, S_q, S_t, interpret=interpret)
+    # pack 4 rows per byte (255 -> 3 via min)
+    o = jnp.minimum(ops, 3).astype(jnp.uint8)
+    return (o[:, 0::4] | (o[:, 1::4] << 2) | (o[:, 2::4] << 4)
+            | (o[:, 3::4] << 6))
+
+
+def cigar_from_packed_ops(packed_row: np.ndarray, qlen: int, tlen: int
+                          ) -> list[tuple[str, int]]:
+    """Decode one problem's 2-bit op stream into a CIGAR."""
+    b = packed_row
+    ops = np.empty(4 * len(b), np.uint8)
+    ops[0::4] = b & 3
+    ops[1::4] = (b >> 2) & 3
+    ops[2::4] = (b >> 4) & 3
+    ops[3::4] = (b >> 6) & 3
+    return cigar_from_ops(ops, qlen, tlen, skip=3)
+
+
+def cigar_from_ops(ops_row: np.ndarray, qlen: int, tlen: int,
+                   skip: int = 255) -> list[tuple[str, int]]:
+    """Decode one walker's op bytes (per anti-diagonal, ``skip`` = row not
+    consumed) into a CIGAR, mirroring ``backtrack_np``'s residual
+    handling."""
+    n_diag = qlen + tlen - 1
+    seq = ops_row[:n_diag][::-1]
+    seq = seq[seq != skip]
+    nM = int((seq == 0).sum())
+    nI = int((seq == 1).sum())
+    nD = int((seq == 2).sum())
+    i_end = tlen - 1 - nM - nI
+    j_end = qlen - 1 - nM - nD
+    parts = seq.tolist()
+    if i_end >= 0:
+        parts.extend([1] * (i_end + 1))
+    if j_end >= 0:
+        parts.extend([2] * (j_end + 1))
+    cigar: list[tuple[str, int]] = []
+    for opc in parts:
+        opch = "MID"[opc]
+        if cigar and cigar[-1][0] == opch:
+            cigar[-1] = (opch, cigar[-1][1] + 1)
+        else:
+            cigar.append((opch, 1))
+    cigar.reverse()
+    return cigar
 
 
 # ---------------------------------------------------------------------------
@@ -387,23 +640,34 @@ def _pad_to_class(n: int) -> int:
     return ((n + 2047) // 2048) * 2048
 
 
-def _chunk_for(S_q: int, S_t: int, chunk: int = 256) -> int:
-    """Diagonal rows per grid step: capped so the (1, chunk, S_t) uint8
+def _chunk_for(S_q: int, S_t: int, chunk: int = 256,
+               width: int | None = None) -> int:
+    """Diagonal rows per grid step: capped so the (1, chunk, 8, width) uint8
     output block stays ~<=512 KB of VMEM, floored to the 8-row store
     alignment, and never a single chunk (a JAX interpret-mode bug
-    miscompares scalars derived from size-1 grid dims)."""
-    c = max(8, min(chunk, (512 * 1024 // (8 * max(S_t, 1))) // 8 * 8))
+    miscompares scalars derived from size-1 grid dims).  ``width`` is the
+    lane width of a compute row (G * S_t for lane-packed small classes)."""
+    w = width if width is not None else S_t
+    c = max(8, min(chunk, (512 * 1024 // (8 * max(w, 1))) // 8 * 8))
     n_diag = S_q + S_t - 1
     if (n_diag + c - 1) // c == 1:
         c = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
     return c
 
 
-def _padded_rows(S_q: int, S_t: int, chunk: int = 256) -> int:
+def _padded_rows(S_q: int, S_t: int, chunk: int = 256,
+                 width: int | None = None) -> int:
     """Row count of the kernel output."""
-    c = _chunk_for(S_q, S_t, chunk)
+    c = _chunk_for(S_q, S_t, chunk, width)
     n_diag = S_q + S_t - 1
     return ((n_diag + c - 1) // c) * c
+
+
+def _lane_groups(S_t: int) -> int:
+    """Problems packed per compute row (lane dimension) for small size
+    classes: fills the 1024-lane row so per-row overhead amortizes over
+    G problems instead of 1."""
+    return max(1, min(8, 1024 // max(S_t, 1)))
 
 
 def wavefront_device(qcodes, tgt, S_q: int, S_t: int, **kw):
@@ -534,21 +798,28 @@ class WavefrontAligner:
             groups.setdefault(key, []).append(idx)
 
         for (S_q, S_t), idxs in groups.items():
-            # batch padded to a power of two (>= 8 for the sublane packing)
-            # so each (B, S_q, S_t) shape compiles once per session
-            B = 8
+            # batch padded to a power of two (>= 8*G for the sublane + lane
+            # packing) so each (B, S_q, S_t) shape compiles once per session
+            G = _lane_groups(S_t)
+            B = 8 * G
             while B < len(idxs):
                 B <<= 1
-            n_rows = _padded_rows(S_q, S_t)
-            qcodes = np.full((B, n_rows), WILDCARD, dtype=np.int32)
+            qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
             tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
+            ql = np.ones(B, np.int32)
+            tl = np.ones(B, np.int32)
             for bi, idx in enumerate(idxs):
                 qc, tc = pairs[idx]
-                qcodes[bi, :len(qc)] = qc
+                qseq[bi, :len(qc)] = qc
                 tgts[bi, :len(tc)] = tc
+                ql[bi] = len(qc)
+                tl[bi] = len(tc)
             if jax.default_backend() == "cpu" and not self.interpret:
                 # Pallas does not lower on the CPU backend; the scan
                 # variant is the compiled-CPU device path
+                n_rows = _padded_rows(S_q, S_t)
+                qcodes = np.full((B, n_rows), WILDCARD, dtype=np.int32)
+                qcodes[:, :S_q] = qseq
                 p_flat = np.asarray(wavefront_scan_batch(
                     jnp.asarray(qcodes), jnp.asarray(tgts), S_q, S_t,
                     self.match, self.mis, self.gapo, self.gape))
@@ -557,14 +828,16 @@ class WavefrontAligner:
                     results[idx] = backtrack_np(p_flat[bi], len(qc),
                                                 len(tc))
                 continue
-            p_all = np.asarray(wavefront_pallas_batch(
-                jnp.asarray(qcodes), jnp.asarray(tgts), S_q, S_t,
-                self.match, self.mis, self.gapo, self.gape,
-                interpret=self.interpret))
+            # fused fill + on-device traceback: the direction matrix stays
+            # in HBM; only a 2-bit op code per anti-diagonal is transferred
+            ops = np.asarray(wavefront_cigar_device(
+                jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
+                jnp.asarray(tl), S_q, S_t, self.match, self.mis, self.gapo,
+                self.gape, interpret=self.interpret, G=G))
             for bi, idx in enumerate(idxs):
                 qc, tc = pairs[idx]
-                results[idx] = backtrack_np(p_all[bi // 8, :, bi % 8, :],
-                                            len(qc), len(tc))
+                results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
+                                                     len(tc))
         return results
 
     def align_strings(self, a: str, b: str) -> list[tuple[str, int]]:
