@@ -117,3 +117,40 @@ def test_chunked_strings():
     assert sum(ln for op, ln in cig if op != "I") == 150
     assert sum(ln for op, ln in cig if op != "D") == 150
     assert all(op == "M" for op, ln in cig)
+
+
+def test_device_traceback_interpret():
+    """Fused fill + on-device traceback (interpret mode) produces CIGARs
+    identical to the NumPy reference DP, for both the plain (G=1) and the
+    lane-packed (G>1) layouts."""
+    from sedef_tpu.ops.wavefront import (WILDCARD, cigar_from_packed_ops,
+                                         wavefront_cigar_device)
+    rng = np.random.default_rng(11)
+    for S_q, S_t, G, B in [(128, 128, 8, 64), (128, 128, 1, 8),
+                           (256, 128, 8, 64)]:
+        qs = np.full((B, S_q), WILDCARD, np.int8)
+        tp = np.full((B, S_t), WILDCARD, np.int8)
+        ql = np.ones(B, np.int32)
+        tl = np.ones(B, np.int32)
+        probs = []
+        # exercise every lane stride class with distinct lengths
+        for i in range(min(B, 2 * 8 * G)):
+            qlen = int(rng.integers(S_q // 2, S_q + 1))
+            tlen = int(rng.integers(S_t // 2, S_t + 1))
+            q = rng.integers(0, 4, qlen).astype(np.int8)
+            t = np.array(list(q[:min(qlen, tlen)])
+                         + [0] * max(0, tlen - qlen), np.int8)[:tlen]
+            m = rng.random(tlen) < 0.12
+            t[m] = rng.integers(0, 4, int(m.sum()))
+            qs[i, :qlen] = q
+            tp[i, :tlen] = t
+            ql[i] = qlen
+            tl[i] = tlen
+            probs.append((q, t))
+        ops = np.asarray(wavefront_cigar_device(
+            qs, tp, ql, tl, S_q, S_t, interpret=True, G=G))
+        for i, (q, t) in enumerate(probs):
+            got = cigar_from_packed_ops(ops[i], len(q), len(t))
+            p_ref, _ = wavefront_np(q, t)
+            assert got == backtrack_np(p_ref, len(q), len(t)), (S_q, S_t,
+                                                                G, i)
