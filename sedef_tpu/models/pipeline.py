@@ -190,13 +190,18 @@ def bucket_stage(seed_lines: list[str], fr: FastaReference,
 def align_stage(bucket_lines: list[str], fr: FastaReference,
                 cfg: Config = DEFAULT,
                 aligner: WavefrontAligner | None = None,
-                kmer_size: int = 11) -> list[str]:
+                kmer_size: int = 11, jobs: int = 1) -> list[str]:
     """Stage 2b (align_main.cc:285-337): fast_align per extended region,
-    coordinates lifted back to chromosome space."""
-    out: list[str] = []
-    for line in bucket_lines:
+    coordinates lifted back to chromosome space.
+
+    ``jobs > 1`` runs regions on a thread pool with a coalescing aligner:
+    concurrent gap-alignment batches merge into single device dispatches
+    (output order and content are unchanged — see CoalescingAligner)."""
+
+    def one(line: str) -> list[str]:
         if not line.strip():
-            continue
+            return []
+        out: list[str] = []
         h, _ = Hit.from_bed(line)
         h.query_end = min(h.query_end, fr.length(h.query.name))
         h.ref_end = min(h.ref_end, fr.length(h.ref.name))
@@ -206,7 +211,7 @@ def align_stage(bucket_lines: list[str], fr: FastaReference,
         fb = fr.get_sequence(h.ref.name, h.ref_start, h.ref_end)
         if h.ref.is_rc:
             fb = revcomp(fb)
-        alns = fast_align(fa, fb, h, kmer_size, cfg, aligner)
+        alns = fast_align(fa, fb, h, kmer_size, cfg, al)
         for hh in alns:
             hh.query_start += h.query_start
             hh.query_end += h.query_start
@@ -221,7 +226,24 @@ def align_stage(bucket_lines: list[str], fr: FastaReference,
             hh.query.name = h.query.name
             hh.ref.name = h.ref.name
             out.append(hh.to_bed(False) + "\t" + h.to_bed(False))
-    return out
+        return out
+
+    al = aligner
+    if jobs <= 1 or len(bucket_lines) <= 1:
+        out: list[str] = []
+        for line in bucket_lines:
+            out.extend(one(line))
+        return out
+    from concurrent.futures import ThreadPoolExecutor
+    from ..ops.cigar import default_aligner
+    from ..ops.wavefront import CoalescingAligner
+    if al is None:
+        al = default_aligner()
+    if not isinstance(al, CoalescingAligner):
+        al = CoalescingAligner(al)
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        results = list(ex.map(one, bucket_lines))
+    return [row for rows in results for row in rows]
 
 
 _V_RE = re.compile(r"(\d+)")
@@ -318,17 +340,11 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
               f"{sum(len(b) for b in buckets)} regions", quiet)
 
         t0 = time.time()
-        aligned = []
-        if jobs <= 1:
-            for bucket in buckets:
-                aligned.extend(align_stage(bucket, fr, cfg, aligner))
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=jobs) as ex:
-                for out in ex.map(
-                        lambda b: align_stage(b, fr, cfg, aligner),
-                        buckets):
-                    aligned.extend(out)
+        # one flat region list: per-region threads + the coalescing
+        # aligner batch gap DPs across ALL regions per device dispatch
+        flat = [line for bucket in buckets for line in bucket]
+        aligned = align_stage(flat, fr, cfg, aligner,
+                              jobs=max(jobs, 8) if len(flat) > 1 else 1)
         aligned = canonical_sort_uniq(aligned)
         _eprn(f"[align]  {time.time() - t0:8.1f}s  "
               f"{len(aligned)} alignments", quiet)

@@ -865,6 +865,71 @@ class WavefrontAligner:
         return cigar
 
 
+class CoalescingAligner:
+    """Thread-safe wrapper that merges ``align_batch`` calls issued by
+    concurrent workers into single device dispatches.
+
+    The reference fans stage 2b over GNU-Parallel processes
+    (``sedef.sh:187-190``); here independent regions run on threads and
+    their gap-alignment batches coalesce, so the number of device round
+    trips per bucket drops from O(regions x align rounds) to O(align
+    rounds) — the decisive factor when per-dispatch latency is high.
+    Results are identical to per-call dispatch: the kernel is
+    batch-composition independent (each problem is solved in its own
+    lanes) and routing (native vs device) is per-problem.
+    """
+
+    def __init__(self, base: "WavefrontAligner", window_s: float = 0.004):
+        import threading
+        self.base = base
+        self.cfg = base.cfg
+        self.window_s = window_s
+        self._cv = threading.Condition()
+        self._pending: list[list] = []
+        self._dispatching = False
+
+    def align_batch(self, pairs):
+        import time as _time
+        if not pairs:
+            return []
+        req = [pairs, None]
+        with self._cv:
+            self._pending.append(req)
+            while req[1] is None and self._dispatching:
+                self._cv.wait()
+            if req[1] is not None:
+                return req[1]
+            self._dispatching = True
+        try:
+            while req[1] is None:
+                _time.sleep(self.window_s)
+                with self._cv:
+                    batch = self._pending
+                    self._pending = []
+                if not batch:
+                    break
+                union = [p for r in batch for p in r[0]]
+                results = self.base.align_batch(union)
+                with self._cv:
+                    i = 0
+                    for r in batch:
+                        n = len(r[0])
+                        r[1] = results[i:i + n]
+                        i += n
+                    self._cv.notify_all()
+        finally:
+            with self._cv:
+                self._dispatching = False
+                self._cv.notify_all()
+        return req[1]
+
+    def align_codes(self, query, target):
+        return self.align_batch([(query, target)])[0]
+
+    def align_strings(self, a: str, b: str):
+        return self.base.align_strings(a, b)
+
+
 def _degenerate_cigar(qlen: int, tlen: int) -> list[tuple[str, int]]:
     out = []
     if qlen:

@@ -45,9 +45,8 @@ print(f"stage2a bucket: {t_bucket:7.1f}s  ({nb} regions)")
 
 al = WavefrontAligner(use_tpu=False) if cpu_align else WavefrontAligner()
 t0 = time.time()
-aligned = []
-for b in buckets:
-    aligned.extend(pl.align_stage(b, fr, DEFAULT, al))
+flat = [line for b in buckets for line in b]
+aligned = pl.align_stage(flat, fr, DEFAULT, al, jobs=8)
 aligned = pl.canonical_sort_uniq(aligned)
 t_align = time.time() - t0
 print(f"stage2b align : {t_align:7.1f}s  ({len(aligned)} alignments)")
