@@ -53,7 +53,8 @@ def cmd_search(args) -> int:
     else:
         qchrs = [args.query]
         rchrs = [args.ref]
-    lines = pl.search_job(fr, qchrs, rchrs, args.reverse, cfg)
+    lines = pl.search_job(fr, qchrs, rchrs, args.reverse, cfg,
+                          report_fails=args.report_fails)
     for line in lines:
         print(line)
     print(f"Total: {len(lines)}", file=sys.stderr)
@@ -166,6 +167,9 @@ def main(argv=None) -> int:
     sp.add_argument("-e", "--error", type=float)
     sp.add_argument("-E", "--edit-error", type=float, dest="edit_error")
     sp.add_argument("-g", "--gap-freq", type=float, dest="gap_freq")
+    sp.add_argument("--report-fails", action="store_true",
+                    dest="report_fails",
+                    help="emit diagnostic rows for gate-rejected windows")
     sp.set_defaults(fn=cmd_search)
 
     ap = sub.add_parser("align", help="stage 2: bucket / generate")

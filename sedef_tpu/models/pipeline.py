@@ -81,9 +81,11 @@ class IndexCache:
 def search_job(fr: FastaReference, query_chrs: list[str],
                ref_chrs: list[str], is_rc: bool, cfg: Config = DEFAULT,
                use_device: bool = False,
-               cache: "IndexCache | None" = None) -> list[str]:
+               cache: "IndexCache | None" = None,
+               report_fails: bool = False) -> list[str]:
     """One stage-1 job: all query x ref chromosome pairs of two super-bins
-    on one strand (search_main.cc:122-196).  Returns seed BED lines."""
+    on one strand (search_main.cc:122-196).  Returns seed BED lines.
+    ``report_fails`` adds diagnostic rows for gate-rejected windows."""
     if cache is None:
         cache = IndexCache(fr, cfg, use_device)
     lines: list[str] = []
@@ -92,7 +94,8 @@ def search_job(fr: FastaReference, query_chrs: list[str],
         for q in query_chrs:
             qh = cache.get(q, False)
             same_genome = (q == r) and not is_rc
-            hits = initial_search(qh, rh, same_genome, cfg)
+            hits = initial_search(qh, rh, same_genome, cfg,
+                                  report_fails=report_fails)
             lines.extend(h.to_bed() for h in hits)
     return lines
 

@@ -438,14 +438,20 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
 
 def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                    is_same_genome: bool, cfg: Config = DEFAULT,
-                   report=None, use_native: bool | None = None) -> list[Hit]:
+                   report=None, use_native: bool | None = None,
+                   report_fails: bool = False) -> list[Hit]:
     """search_main.cc:40-82 — the per-chromosome-pair driver.
 
     Dispatches to the C++ native core (native/native.cc sedef_search —
-    parity-tested against this implementation) unless disabled."""
+    parity-tested against this implementation) unless disabled.
+    ``report_fails`` emits diagnostic rows for windows rejected by the
+    Jaccard / interval / uppercase / q-gram gates (search.cc fail hits);
+    it always runs the Python engine, which carries the fail comments."""
     if use_native is None:
         import os
         use_native = os.environ.get("SEDEF_NO_NATIVE", "") == ""
+    if report_fails:
+        use_native = False
     if use_native:
         try:
             from ..native import lib as _native
@@ -482,9 +488,12 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                 != STATUS_HAS_UPPERCASE):
             continue
         hits = search(qi, query_hash, ref_hash, tree, is_same_genome,
-                      min_read, True, False, cfg)
+                      min_read, True, report_fails, cfg)
         min_len = len(query_hash.seq)
         for h in hits:
+            # fail rows (report_fails) flow through min_len/stride exactly
+            # like real hits — the reference's loop makes no distinction
+            # (search_main.cc:68-79)
             min_len = min(min_len, h.query_end - h.query_start)
             out.append(h)
             if report:

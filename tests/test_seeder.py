@@ -42,3 +42,27 @@ def test_search_toy_genome(fixtures_dir_module):
     assert len(fwd) == 1 and len(rc) == 1
     assert fwd[0].split("\t")[:6] == ["chr1", "0", "17337", "chr1", "12621",
                                       "28313"]
+
+
+def test_report_fails_diagnostics():
+    """report_fails emits rows with gate-failure comments (search.cc fail
+    hits); normal mode returns only OK hits."""
+    import numpy as np
+    from sedef_tpu.models.seeder import initial_search
+    from sedef_tpu.ops.dna import PackedSeq
+    from sedef_tpu.ops.index import MinimizerIndex
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(np.array(list("ACGT")), 2500))
+    mut = list(base)
+    for i in range(len(mut)):
+        if rng.random() < 0.2:
+            mut[i] = "ACGT"[rng.integers(4)]
+    chrom = (base + "".join(rng.choice(np.array(list("ACGT")), 2000))
+             + "".join(mut))
+    qh = MinimizerIndex(PackedSeq("chrA", chrom), 12, 16)
+    diag = initial_search(qh, qh, True, report_fails=True)
+    assert any(h.comment.startswith("jaccard") for h in diag)
+    normal = initial_search(qh, qh, True)
+    assert all(h.comment == "OK" for h in normal)
+    ok_diag = [h for h in diag if h.comment == "OK"]
+    assert [h.to_bed() for h in ok_diag] != [] or normal == []
