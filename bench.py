@@ -36,11 +36,12 @@ def main() -> None:
 
     on_tpu = jax.default_backend() not in ("cpu",)
     L = 1024
-    B = 64 if on_tpu else 2
-    N = 64 if on_tpu else 2      # chained kernel invocations per round trip
+    SUB = 32 if on_tpu else 8    # sublane packing (production kernel config)
+    B = 256 if on_tpu else 2
+    N = 16 if on_tpu else 2      # chained kernel invocations per round trip
     reps = 2
     rng = np.random.default_rng(0)
-    n_rows = _padded_rows(L, L)
+    n_rows = _padded_rows(L, L, sub=SUB)
     q = jax.device_put(rng.integers(0, 4, (B, n_rows)).astype(np.int32))
     t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8))
 
@@ -49,7 +50,7 @@ def main() -> None:
         def body(i, acc):
             q2 = q.at[:, 0].set((acc % 4).astype(jnp.int32))
             if on_tpu:
-                p = wavefront_device(q2, t, L, L)
+                p = wavefront_device(q2, t, L, L, SUB=SUB)
             else:
                 p = wavefront_scan_batch(q2, t, L, L)
             return acc + p.astype(jnp.int32).sum()

@@ -191,38 +191,44 @@ def backtrack_np(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:
 @functools.partial(
     jax.jit,
     static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape", "chunk",
-                     "interpret", "G"))
+                     "interpret", "G", "SUB"))
 def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
                            mis: int = -4, gapo: int = 40, gape: int = 1,
                            chunk: int = 256, interpret: bool = False,
-                           G: int = 1):
+                           G: int = 1, SUB: int = 8):
     """Batched direction-matrix computation on TPU.
 
-    Eight problems are packed into the VPU sublane dimension — every
-    vector op advances one anti-diagonal of eight independent alignments —
+    SUB problems are packed into the VPU sublane dimension — every
+    vector op advances one anti-diagonal of SUB independent alignments —
     and, for small size classes, G more along the lane dimension (a
-    (8, S_t) row with S_t < 1024 wastes the rest of the VPU row).  Lane
+    (SUB, S_t) row with S_t < 1024 wastes the rest of the VPU row).  Lane
     packing is *interleaved*: position t of lane-group g lives at lane
     t*G + g, so the t-1 neighbour access is a roll by G and the t=0
     boundary injection lands on the first G contiguous lanes.
 
+    SUB > 8 trades VMEM block size for instruction-issue amortization:
+    each vector instruction covers SUB/8 physical (8, 128) registers, so
+    the sequentially dependent per-diagonal op chain advances 4x the
+    cells per issued op at SUB=32 (measured ~3x end-to-end on v5e).
+
     qcodes: (B, >= n_diag) int32 query codes (wildcard padded), B a
-            multiple of 8*G; per-row scalars live in SMEM and are inserted
-            into a rolled VMEM qrow carry (Mosaic only allows 128-aligned
-            dynamic lane slices, so a sliding window is not lowerable).
+            multiple of SUB*G; the per-row injected codes are precomputed
+            into a VMEM array indexed by diagonal (dynamic lane slices
+            must be 128-aligned, so a sliding window over the raw codes
+            is not lowerable — but a dynamic *sublane-block* index is).
     tgt:  (B, S_t) int8 target codes (wildcard padded)
-    returns p: (B//(8G), n_rows, 8, G*S_t) uint8 — problem b lives at
-    group b // (8G), sublane (b % (8G)) // G, lane-stride-class b % G;
-    rows beyond S_q + S_t - 1 are garbage.
+    returns p: (B//(SUB*G), n_rows, SUB, G*S_t) uint8 — problem b lives
+    at group b // (SUB*G), sublane (b % (SUB*G)) // G, lane-stride-class
+    b % G; rows beyond S_q + S_t - 1 are garbage.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = tgt.shape[0]
-    assert B % (8 * G) == 0, "pad the batch to a multiple of 8*G"
+    assert B % (SUB * G) == 0, "pad the batch to a multiple of SUB*G"
     W = G * S_t
     n_diag = S_q + S_t - 1
-    chunk = _chunk_for(S_q, S_t, chunk, width=W)
+    chunk = _chunk_for(S_q, S_t, chunk, width=W, sub=SUB)
     n_chunks = (n_diag + chunk - 1) // chunk
     n_rows = n_chunks * chunk
     if qcodes.shape[1] < n_rows:
@@ -231,13 +237,22 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
                               qcodes.dtype)], axis=1)
     elif qcodes.shape[1] > n_rows:
         qcodes = qcodes[:, :n_rows]
-    Bp = B // (8 * G)
+    Bp = B // (SUB * G)
     if G == 1:
         tgtp = tgt
     else:
-        # problem j = pg*8G + s*G + g -> packed row pg*8 + s, lane t*G + g
-        tgtp = (tgt.reshape(Bp, 8, G, S_t).transpose(0, 1, 3, 2)
-                .reshape(Bp * 8, W))
+        # problem j = pg*SUB*G + s*G + g -> packed row pg*SUB + s,
+        # lane t*G + g
+        tgtp = (tgt.reshape(Bp, SUB, G, S_t).transpose(0, 1, 3, 2)
+                .reshape(Bp * SUB, W))
+    # injected query codes per diagonal: (Bp, n_chunks, chunk, SUB, 128)
+    # int8, value for stride class g at lane g (lanes >= G are wildcard
+    # filler — the kernel only reads lanes < G)
+    qv = (qcodes.reshape(Bp, SUB, G, n_rows).transpose(0, 3, 1, 2)
+          .astype(jnp.int8))                       # (Bp, n_rows, SUB, G)
+    qinj = jnp.concatenate(
+        [qv, jnp.full((Bp, n_rows, SUB, 128 - G), WILDCARD, jnp.int8)],
+        axis=3).reshape(Bp, n_chunks, chunk, SUB, 128)
     qe = gapo + gape
     qe2 = 2 * qe
     max_sc = match + qe2
@@ -250,9 +265,8 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
     # one-row VMEM-carry formulation.
     unroll = 16 if chunk % 16 == 0 else 8
 
-    def kernel(qc_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref,
+    def kernel(qinj_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref,
                qrow_ref):
-        # qc_ref: (8G, n_chunks, chunk) SMEM scalars
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -263,19 +277,17 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             y_ref[:] = jnp.zeros_like(y_ref)
             qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
 
-        tq = tgt_ref[:].astype(jnp.int32)                  # (8, W)
+        tq = tgt_ref[:].astype(jnp.int32)                  # (SUB, W)
         twild = tq >= 4                                    # loop-invariant
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, W), 1)
-        zpad = jnp.zeros((8, W - G), jnp.int32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
 
         def row(r, rr, st):
             u0, v0, x0, y0, qrow0 = st
-            # per-problem injection codes: column g holds the 8 sublane
-            # problems of lane stride class g (Mosaic cannot reshape a
-            # flat 8G-vector into (8, G), so build per-column)
-            cols = [jnp.stack([qc_ref[s * G + g, c, rr] for s in range(8)]
-                              ).reshape(8, 1) for g in range(G)]
-            qpad = jnp.concatenate(cols + [zpad], axis=1)
+            # injected codes for this diagonal: one VMEM sublane-block
+            # load instead of SUB*G SMEM scalar loads + vector build
+            qi = qinj_ref[0, 0, rr].astype(jnp.int32)      # (SUB, 128)
+            qpad = qi if W == 128 else jnp.concatenate([qi, wpad], axis=1)
             qrow = jnp.where(lane < G, qpad, pltpu.roll(qrow0, G, axis=1))
             wild = jnp.logical_or(qrow >= 4, twild)
             sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
@@ -323,23 +335,25 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
         kernel,
         grid=(Bp, n_chunks),
         in_specs=[
-            pl.BlockSpec((8 * G, n_chunks, chunk), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, W), lambda b, c: (b, 0),
+            pl.BlockSpec((1, 1, chunk, SUB, 128),
+                         lambda b, c: (b, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, W), lambda b, c: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, 8, W), lambda b, c: (b, c, 0, 0),
+        out_specs=pl.BlockSpec((1, chunk, SUB, W),
+                               lambda b, c: (b, c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_rows, 8, W), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_rows, SUB, W), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
+            pltpu.VMEM((SUB, W), jnp.int32),
+            pltpu.VMEM((SUB, W), jnp.int32),
+            pltpu.VMEM((SUB, W), jnp.int32),
+            pltpu.VMEM((SUB, W), jnp.int32),
+            pltpu.VMEM((SUB, W), jnp.int32),
         ],
         interpret=interpret,
-    )(qcodes.reshape(B, n_chunks, chunk), tgtp)
+    )(qinj, tgtp)
     return out
 
 
@@ -377,29 +391,30 @@ def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
     from jax.experimental.pallas import tpu as pltpu
 
     W = p.shape[3]
+    SUB = p.shape[2]
     G = W // S_t
     n_diag = S_q + S_t - 1
-    chunk = _chunk_for(S_q, S_t, chunk, width=W)
+    chunk = _chunk_for(S_q, S_t, chunk, width=W, sub=SUB)
     n_chunks = (n_diag + chunk - 1) // chunk
     n_rows = n_chunks * chunk
     Bp = p.shape[0]
-    B = Bp * 8 * G
+    B = Bp * SUB * G
     if G > 1:
         # deinterleave lanes t*G+g -> g*S_t+t (one cheap XLA pass over HBM)
-        # so each walker group reads a contiguous (8, S_t) block of its
-        # stride class instead of full (8, W) rows
-        p = (p.reshape(Bp, n_rows, 8, S_t, G).transpose(0, 1, 2, 4, 3)
-             .reshape(Bp, n_rows, 8, W))
-    # walker order: problem j = pg*8G + s*G + g -> walker row (pg*G + g)*8
-    # + s (one walker group per lane stride class)
+        # so each walker group reads a contiguous (SUB, S_t) block of its
+        # stride class instead of full (SUB, W) rows
+        p = (p.reshape(Bp, n_rows, SUB, S_t, G).transpose(0, 1, 2, 4, 3)
+             .reshape(Bp, n_rows, SUB, W))
+    # walker order: problem j = pg*SUB*G + s*G + g -> walker row
+    # (pg*G + g)*SUB + s (one walker group per lane stride class)
     pg_i = np.arange(Bp)[:, None, None]
     g_i = np.arange(G)[None, :, None]
-    s_i = np.arange(8)[None, None, :]
-    j_of_wr = (pg_i * 8 * G + s_i * G + g_i).reshape(-1)
+    s_i = np.arange(SUB)[None, None, :]
+    j_of_wr = (pg_i * SUB * G + s_i * G + g_i).reshape(-1)
     wr_of_j = np.empty(B, np.int64)
     wr_of_j[j_of_wr] = np.arange(B)
-    qlw = jnp.take(ql, j_of_wr, axis=0).reshape(Bp, 8 * G, 128)
-    tlw = jnp.take(tl, j_of_wr, axis=0).reshape(Bp, 8 * G, 128)
+    qlw = jnp.take(ql, j_of_wr, axis=0).reshape(Bp, SUB * G, 128)
+    tlw = jnp.take(tl, j_of_wr, axis=0).reshape(Bp, SUB * G, 128)
 
     def kernel(p_ref, ql_ref, tl_ref, out_ref, st_ref):
         # all G stride classes of a packed group advance in one grid step:
@@ -414,10 +429,10 @@ def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
             st_ref[1, :, :] = ql_ref[0] - 1
             st_ref[2, :, :] = jnp.zeros_like(ql_ref[0])
 
-        lane_t = jax.lax.broadcasted_iota(jnp.int32, (8, S_t), 1)
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (8, chunk), 1)
-        qlv = [ql_ref[0, 8 * g:8 * g + 8, :] for g in range(G)]
-        tlv = [tl_ref[0, 8 * g:8 * g + 8, :] for g in range(G)]
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (SUB, S_t), 1)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (SUB, chunk), 1)
+        qlv = [ql_ref[0, SUB * g:SUB * g + SUB, :] for g in range(G)]
+        tlv = [tl_ref[0, SUB * g:SUB * g + SUB, :] for g in range(G)]
 
         def row_one(r, rr, pslice, st, g):
             i, j, state, acc = st
@@ -456,36 +471,38 @@ def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
                 for g in range(G))
 
         sts0 = tuple(
-            (st_ref[0, 8 * g:8 * g + 8, :], st_ref[1, 8 * g:8 * g + 8, :],
-             st_ref[2, 8 * g:8 * g + 8, :],
-             jnp.full((8, chunk), 255, jnp.int32))
+            (st_ref[0, SUB * g:SUB * g + SUB, :],
+             st_ref[1, SUB * g:SUB * g + SUB, :],
+             st_ref[2, SUB * g:SUB * g + SUB, :],
+             jnp.full((SUB, chunk), 255, jnp.int32))
             for g in range(G))
         sts = jax.lax.fori_loop(0, chunk, body, sts0)
         for g in range(G):
             i, j, state, acc = sts[g]
-            st_ref[0, 8 * g:8 * g + 8, :] = i
-            st_ref[1, 8 * g:8 * g + 8, :] = j
-            st_ref[2, 8 * g:8 * g + 8, :] = state
-            out_ref[0, 0, 8 * g:8 * g + 8, :] = acc.astype(jnp.uint8)
+            st_ref[0, SUB * g:SUB * g + SUB, :] = i
+            st_ref[1, SUB * g:SUB * g + SUB, :] = j
+            st_ref[2, SUB * g:SUB * g + SUB, :] = state
+            out_ref[0, 0, SUB * g:SUB * g + SUB, :] = acc.astype(jnp.uint8)
 
     ops = pl.pallas_call(
         kernel,
         grid=(Bp, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, chunk, 8, W),
+            pl.BlockSpec((1, chunk, SUB, W),
                          lambda b, c: (b, n_chunks - 1 - c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * G, 128), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, SUB * G, 128), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * G, 128), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((1, SUB * G, 128), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8 * G, chunk), lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+            (1, 1, SUB * G, chunk),
+            lambda b, c: (b, n_chunks - 1 - c, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, n_chunks, 8 * G, chunk),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_chunks, SUB * G, chunk),
                                        jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((4, 8 * G, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((4, SUB * G, 128), jnp.int32)],
         interpret=interpret,
     )(p, qlw, tlw)
     # normalize to problem-major (B, n_rows)
@@ -496,11 +513,11 @@ def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
 @functools.partial(
     jax.jit,
     static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape",
-                     "interpret", "G"))
+                     "interpret", "G", "SUB"))
 def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
                            match: int = 5, mis: int = -4, gapo: int = 40,
                            gape: int = 1, interpret: bool = False,
-                           G: int = 1):
+                           G: int = 1, SUB: int = 8):
     """Fused fill + traceback: the direction matrix never leaves HBM.
 
     Host I/O is minimized for slow links: int8 inputs, scalar length
@@ -514,7 +531,7 @@ def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
     byte r // 4, bits 2*(r % 4): 0 = M, 1 = I, 2 = D, 3 = skipped row
     (see ``cigar_from_packed_ops``).
     """
-    n_rows = _padded_rows(S_q, S_t, width=G * S_t)
+    n_rows = _padded_rows(S_q, S_t, width=G * S_t, sub=SUB)
     B = tgt.shape[0]
     qcodes = jnp.concatenate(
         [qseq.astype(jnp.int32),
@@ -522,7 +539,7 @@ def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
     qlb = jnp.broadcast_to(ql.reshape(B, 1), (B, 128))
     tlb = jnp.broadcast_to(tl.reshape(B, 1), (B, 128))
     p = wavefront_pallas_batch(qcodes, tgt, S_q, S_t, match, mis, gapo,
-                               gape, interpret=interpret, G=G)
+                               gape, interpret=interpret, G=G, SUB=SUB)
     ops = backtrack_pallas_batch(p, qlb, tlb, S_q, S_t, interpret=interpret)
     # pack 4 rows per byte (255 -> 3 via min)
     o = jnp.minimum(ops, 3).astype(jnp.uint8)
@@ -641,14 +658,16 @@ def _pad_to_class(n: int) -> int:
 
 
 def _chunk_for(S_q: int, S_t: int, chunk: int = 256,
-               width: int | None = None) -> int:
-    """Diagonal rows per grid step: capped so the (1, chunk, 8, width) uint8
-    output block stays ~<=512 KB of VMEM, floored to the 8-row store
+               width: int | None = None, sub: int = 8) -> int:
+    """Diagonal rows per grid step: capped so the (1, chunk, sub, width)
+    uint8 output block stays within a VMEM budget (~512 KB at sub=8,
+    ~2 MB for wider sublane packings), floored to the 8-row store
     alignment, and never a single chunk (a JAX interpret-mode bug
     miscompares scalars derived from size-1 grid dims).  ``width`` is the
     lane width of a compute row (G * S_t for lane-packed small classes)."""
     w = width if width is not None else S_t
-    c = max(8, min(chunk, (512 * 1024 // (8 * max(w, 1))) // 8 * 8))
+    budget = 512 * 1024 if sub <= 8 else 4 * 1024 * 1024
+    c = max(8, min(chunk, (budget // (sub * max(w, 1))) // 8 * 8))
     n_diag = S_q + S_t - 1
     if (n_diag + c - 1) // c == 1:
         c = max(32, -(-((n_diag + 1) // 2) // 32) * 32)
@@ -656,9 +675,9 @@ def _chunk_for(S_q: int, S_t: int, chunk: int = 256,
 
 
 def _padded_rows(S_q: int, S_t: int, chunk: int = 256,
-                 width: int | None = None) -> int:
+                 width: int | None = None, sub: int = 8) -> int:
     """Row count of the kernel output."""
-    c = _chunk_for(S_q, S_t, chunk, width)
+    c = _chunk_for(S_q, S_t, chunk, width, sub)
     n_diag = S_q + S_t - 1
     return ((n_diag + c - 1) // c) * c
 
@@ -670,11 +689,20 @@ def _lane_groups(S_t: int) -> int:
     return max(1, min(8, 1024 // max(S_t, 1)))
 
 
+def _sublane_pack(S_t: int) -> int:
+    """Problems packed per vector op in the sublane dimension.  Wider
+    than the physical 8 sublanes: each op then covers SUB/8 registers,
+    amortizing instruction issue over 4x the cells along the sequential
+    per-diagonal dependency chain (measured ~3x on v5e at 32)."""
+    return 32
+
+
 def wavefront_device(qcodes, tgt, S_q: int, S_t: int, **kw):
     """Pallas kernel with (B, n_rows, S_t) output layout (pads B to a
-    multiple of 8 and unpacks the sublane dimension)."""
+    multiple of the sublane packing and unpacks the sublane dimension)."""
+    SUB = kw.get("SUB", 8)
     B = tgt.shape[0]
-    B8 = ((B + 7) // 8) * 8
+    B8 = ((B + SUB - 1) // SUB) * SUB
     if B8 != B:
         qcodes = jnp.concatenate(
             [qcodes, jnp.full((B8 - B, qcodes.shape[1]), WILDCARD,
@@ -798,10 +826,12 @@ class WavefrontAligner:
             groups.setdefault(key, []).append(idx)
 
         for (S_q, S_t), idxs in groups.items():
-            # batch padded to a power of two (>= 8*G for the sublane + lane
-            # packing) so each (B, S_q, S_t) shape compiles once per session
+            # batch padded to a power of two (>= SUB*G for the sublane +
+            # lane packing) so each (B, S_q, S_t) shape compiles once per
+            # session
             G = _lane_groups(S_t)
-            B = 8 * G
+            SUB = _sublane_pack(S_t)
+            B = SUB * G
             while B < len(idxs):
                 B <<= 1
             qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
@@ -833,7 +863,7 @@ class WavefrontAligner:
             ops = np.asarray(wavefront_cigar_device(
                 jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
                 jnp.asarray(tl), S_q, S_t, self.match, self.mis, self.gapo,
-                self.gape, interpret=self.interpret, G=G))
+                self.gape, interpret=self.interpret, G=G, SUB=SUB))
             for bi, idx in enumerate(idxs):
                 qc, tc = pairs[idx]
                 results[idx] = cigar_from_packed_ops(ops[bi], len(qc),

@@ -122,19 +122,21 @@ def test_chunked_strings():
 def test_device_traceback_interpret():
     """Fused fill + on-device traceback (interpret mode) produces CIGARs
     identical to the NumPy reference DP, for both the plain (G=1) and the
-    lane-packed (G>1) layouts."""
+    lane-packed (G>1) layouts, at the default and the wide (SUB>8)
+    sublane packings."""
     from sedef_tpu.ops.wavefront import (WILDCARD, cigar_from_packed_ops,
                                          wavefront_cigar_device)
     rng = np.random.default_rng(11)
-    for S_q, S_t, G, B in [(128, 128, 8, 64), (128, 128, 1, 8),
-                           (256, 128, 8, 64)]:
+    for S_q, S_t, G, B, SUB in [(128, 128, 8, 64, 8), (128, 128, 1, 8, 8),
+                                (256, 128, 8, 64, 8), (128, 128, 1, 16, 16),
+                                (128, 128, 2, 64, 32)]:
         qs = np.full((B, S_q), WILDCARD, np.int8)
         tp = np.full((B, S_t), WILDCARD, np.int8)
         ql = np.ones(B, np.int32)
         tl = np.ones(B, np.int32)
         probs = []
         # exercise every lane stride class with distinct lengths
-        for i in range(min(B, 2 * 8 * G)):
+        for i in range(min(B, 2 * SUB * G)):
             qlen = int(rng.integers(S_q // 2, S_q + 1))
             tlen = int(rng.integers(S_t // 2, S_t + 1))
             q = rng.integers(0, 4, qlen).astype(np.int8)
@@ -148,9 +150,9 @@ def test_device_traceback_interpret():
             tl[i] = tlen
             probs.append((q, t))
         ops = np.asarray(wavefront_cigar_device(
-            qs, tp, ql, tl, S_q, S_t, interpret=True, G=G))
+            qs, tp, ql, tl, S_q, S_t, interpret=True, G=G, SUB=SUB))
         for i, (q, t) in enumerate(probs):
             got = cigar_from_packed_ops(ops[i], len(q), len(t))
             p_ref, _ = wavefront_np(q, t)
             assert got == backtrack_np(p_ref, len(q), len(t)), (S_q, S_t,
-                                                                G, i)
+                                                                G, SUB, i)
