@@ -263,7 +263,7 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
     # them across grid steps).  16-deep unrolling amortizes loop control
     # and lets Mosaic software-pipeline the rolls: +37% on v5e vs the
     # one-row VMEM-carry formulation.
-    unroll = 16 if chunk % 16 == 0 else 8
+    unroll = 32 if chunk % 32 == 0 else (16 if chunk % 16 == 0 else 8)
 
     def kernel(qinj_ref, tgt_ref, out_ref, u_ref, v_ref, x_ref, y_ref,
                qrow_ref):
@@ -280,6 +280,7 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
         tq = tgt_ref[:].astype(jnp.int32)                  # (SUB, W)
         twild = tq >= 4                                    # loop-invariant
         lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        lmask = lane < G                                   # loop-invariant
         wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
 
         def row(r, rr, st):
@@ -288,7 +289,7 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             # load instead of SUB*G SMEM scalar loads + vector build
             qi = qinj_ref[0, 0, rr].astype(jnp.int32)      # (SUB, 128)
             qpad = qi if W == 128 else jnp.concatenate([qi, wpad], axis=1)
-            qrow = jnp.where(lane < G, qpad, pltpu.roll(qrow0, G, axis=1))
+            qrow = jnp.where(lmask, qpad, pltpu.roll(qrow0, G, axis=1))
             wild = jnp.logical_or(qrow >= 4, twild)
             sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
 
@@ -297,8 +298,8 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
             onr = (lane >= rG) & (lane < rG + G)
             ub = jnp.where(onr, bq, u0)
             yb = jnp.where(onr, 0, y0)
-            xs = jnp.where(lane < G, 0, pltpu.roll(x0, G, axis=1))
-            vs = jnp.where(lane < G, bq, pltpu.roll(v0, G, axis=1))
+            xs = jnp.where(lmask, 0, pltpu.roll(x0, G, axis=1))
+            vs = jnp.where(lmask, bq, pltpu.roll(v0, G, axis=1))
 
             z = sc + qe2
             a = xs + vs
