@@ -58,9 +58,32 @@ if _lib is not None:
         _i32, _i32, _i32, _i32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         _i32, _i64, ctypes.c_int64]
 
+    if hasattr(_lib, "sedef_prof_get"):
+        _lib.sedef_prof_get.restype = None
+        _lib.sedef_prof_get.argtypes = [_i64]
+        _lib.sedef_prof_reset.restype = None
+        _lib.sedef_prof_reset.argtypes = []
+
 
 def has(name: str) -> bool:
     return _lib is not None and hasattr(_lib, "sedef_" + name)
+
+
+PROF_FIELDS = ("collect", "cluster", "roll", "replay", "extend", "filter",
+               "roll_steps", "intervals", "survivors")
+
+
+def prof_get() -> dict[str, int]:
+    """Accumulated per-phase nanoseconds (+counts) of the native search."""
+    out = np.zeros(len(PROF_FIELDS), dtype=np.int64)
+    if has("prof_get"):
+        _lib.sedef_prof_get(out)
+    return dict(zip(PROF_FIELDS, out.tolist()))
+
+
+def prof_reset() -> None:
+    if has("prof_reset"):
+        _lib.sedef_prof_reset()
 
 
 def kmer_keys(code: np.ndarray, cls: np.ndarray, k: int) -> np.ndarray:

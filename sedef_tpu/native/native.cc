@@ -16,14 +16,58 @@
 // bottleneck.  Build: python -m sedef_tpu.native.build
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <ctime>
 #include <map>
 #include <set>
 #include <vector>
 
+// ---------------------------------------------------------------------------
+// Phase profiling (reference analog: the per-section cur_time()/elapsed()
+// timers of common.h:49-54).  Nanosecond accumulators per search phase,
+// queried via sedef_prof_get; overhead is two clock_gettime calls per
+// *interval* (not per roll step), ~50 ns each.
+// ---------------------------------------------------------------------------
+
+namespace prof {
+enum Phase { COLLECT = 0, CLUSTER, ROLL, REPLAY, EXTEND, FILTER, N_PHASE };
+static std::atomic<int64_t> ns[N_PHASE];
+static std::atomic<int64_t> roll_steps{0}, intervals{0}, survivors{0};
+
+static inline int64_t now() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (int64_t)ts.tv_sec * 1000000000 + ts.tv_nsec;
+}
+
+struct Scope {
+  Phase ph;
+  int64_t t0;
+  explicit Scope(Phase p) : ph(p), t0(now()) {}
+  ~Scope() { ns[ph].fetch_add(now() - t0, std::memory_order_relaxed); }
+};
+}  // namespace prof
+
 extern "C" {
+
+// out: [collect, cluster, roll, replay, extend, filter] ns, then
+// [roll_steps, intervals, survivors]
+void sedef_prof_get(int64_t *out) {
+  for (int i = 0; i < prof::N_PHASE; i++) out[i] = prof::ns[i].load();
+  out[prof::N_PHASE + 0] = prof::roll_steps.load();
+  out[prof::N_PHASE + 1] = prof::intervals.load();
+  out[prof::N_PHASE + 2] = prof::survivors.load();
+}
+
+void sedef_prof_reset() {
+  for (int i = 0; i < prof::N_PHASE; i++) prof::ns[i] = 0;
+  prof::roll_steps = 0;
+  prof::intervals = 0;
+  prof::survivors = 0;
+}
 
 // ---------------------------------------------------------------------------
 // Winnowing change-point scan (ops/winnow.py change_points_np)
@@ -460,12 +504,14 @@ static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
                             int32_t t_end, const SearchParams &P,
                             Counters &C, std::vector<OutHit> &hits) {
   C.total++;
+  prof::intervals.fetch_add(1, std::memory_order_relaxed);
   const int64_t nr = R.nmin;
   int32_t ref_start = t_start;
   int32_t ref_end = (int32_t)std::min<int64_t>(t_start + init_len, R.len);
   int64_t rws = Q.len ? R.find_minimizers(ref_start) : 0;
   int64_t rwe = rws;
   Sketch w = winnow0;
+  int64_t t_roll = prof::now();
   while (rwe < nr && R.locs[rwe] < ref_end) w.add_ref(R.keys[rwe++]);
 
   // roll to best (reference records best coords PRE-increment and feeds the
@@ -491,8 +537,12 @@ static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
     if (ref_end == R.len) break;
   }
   const int32_t final_rs = ref_start, final_re = ref_end;
+  prof::roll_steps.fetch_add(steps, std::memory_order_relaxed);
+  prof::ns[prof::ROLL].fetch_add(prof::now() - t_roll,
+                                 std::memory_order_relaxed);
 
   // replay to the best round
+  int64_t t_replay = prof::now();
   w = init_w;
   ref_start = init_rs;
   ref_end = init_re;
@@ -508,22 +558,32 @@ static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
     ref_start--;
     ref_end--;
   }
+  prof::ns[prof::REPLAY].fetch_add(prof::now() - t_replay,
+                                   std::memory_order_relaxed);
 
   if (w.jaccard() < 0) {
     C.jaccard++;
     return;  // report_fails always false in production
   }
+  prof::survivors.fetch_add(1, std::memory_order_relaxed);
   if (is_overlap(tree, query_start, query_start + init_len, ref_start,
                  ref_end, P)) {
     C.interval++;
     return;
   }
-  if (!filter_hit(Q, query_start, query_start + init_len, R, final_rs,
-                  std::min<int32_t>(final_re, (int32_t)R.len), P, C))
-    return;
+  {
+    prof::Scope sc(prof::FILTER);
+    if (!filter_hit(Q, query_start, query_start + init_len, R, final_rs,
+                    std::min<int32_t>(final_re, (int32_t)R.len), P, C))
+      return;
+  }
   ExtState st{query_start, query_start + init_len, ref_start, ref_end,
               qws, qwe, rws, rwe};
+  int64_t t_ext = prof::now();
   OutHit h = extend_hit(w, Q, R, st, P);
+  prof::ns[prof::EXTEND].fetch_add(prof::now() - t_ext,
+                                   std::memory_order_relaxed);
+  prof::Scope sc(prof::FILTER);
   if (!filter_hit(Q, h.qs, h.qe, R, h.rs, h.re, P, C)) return;
   hits.push_back(h);
   tree.push_back(Rect{h.qs, h.qe, h.rs, h.re});
@@ -596,6 +656,7 @@ int64_t sedef_search(
       wkeys.clear();
       static thread_local std::vector<int32_t> cand_v;
       cand_v.clear();
+      int64_t t_collect = prof::now();
       int64_t qwe = qi;
       while (qwe < q_nmin && q_locs[qwe] - query_start <= min_read_size) {
         int64_t key = q_keys[qwe];
@@ -617,7 +678,10 @@ int64_t sedef_search(
       std::sort(wkeys.begin(), wkeys.end());
       int distinct =
           (int)(std::unique(wkeys.begin(), wkeys.end()) - wkeys.begin());
+      prof::ns[prof::COLLECT].fetch_add(prof::now() - t_collect,
+                                        std::memory_order_relaxed);
       if (distinct) {
+        int64_t t_cluster = prof::now();
         std::sort(cand_v.begin(), cand_v.end());
         cand_v.erase(std::unique(cand_v.begin(), cand_v.end()),
                      cand_v.end());
@@ -638,6 +702,8 @@ int64_t sedef_search(
               T.push_back({x, y});
           }
         }
+        prof::ns[prof::CLUSTER].fetch_add(prof::now() - t_cluster,
+                                          std::memory_order_relaxed);
         for (auto &t : T) {
           if (same_genome)
             t.first = std::max(t.first, query_start + min_read_size);
