@@ -248,7 +248,7 @@ def search_in_reference_interval(query_start, query_winnow_start,
     """search.cc:263-391"""
     assert t_start <= t_end and t_start >= 0
     assert winnow.query_size > 0
-    filt.COUNTERS["total"] += 1
+    filt.COUNTERS.add("total")
 
     rlen = len(ref_hash.seq)
     nr = len(ref_hash.keys)
@@ -318,7 +318,7 @@ def search_in_reference_interval(query_start, query_winnow_start,
     hits: list[Hit] = []
 
     if winnow.jaccard() < 0:
-        filt.COUNTERS["jaccard"] += 1
+        filt.COUNTERS.add("jaccard")
         if report_fails:
             hits.append(Hit(
                 qname, query_start, query_start + init_len, rname,
@@ -358,7 +358,7 @@ def search_in_reference_interval(query_start, query_winnow_start,
                     tree.add(h.query_start, h.query_end,
                              h.ref_start, h.ref_end)
         else:
-            filt.COUNTERS["interval"] += 1
+            filt.COUNTERS.add("interval")
     else:
         ok, reason = filt.filter_hit(query_hash.seq, query_start,
                                      query_start + init_len,

@@ -9,11 +9,15 @@ reports availability.  Build with:  python -m sedef_tpu.native.build
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 
 import numpy as np
 
-_SO = pathlib.Path(__file__).parent / "libsedef_native.so"
+# SEDEF_NATIVE_SO overrides the library path (used by the ASan test to load
+# the sanitizer build in a subprocess)
+_SO = pathlib.Path(os.environ.get(
+    "SEDEF_NATIVE_SO", pathlib.Path(__file__).parent / "libsedef_native.so"))
 _lib = None
 if _SO.exists():
     try:
@@ -150,7 +154,7 @@ def search(q_index, r_index, same_genome: bool, cfg) -> np.ndarray:
             for key, idx in zip(
                     ("total", "jaccard", "interval", "lowercase", "qgram"),
                     range(5)):
-                filt.COUNTERS[key] += int(counters[idx])
+                filt.COUNTERS.add(key, int(counters[idx]))
             return out[:n * 5].reshape(n, 5)
         cap = int(-n) * 5 + 16
 

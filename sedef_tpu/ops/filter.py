@@ -12,6 +12,8 @@ many windows on device later (qgram histograms are a natural segment-sum).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..config import DEFAULT, Config
@@ -21,9 +23,43 @@ QG = 5
 QSZ = 1 << (2 * QG)
 _MASK = QSZ - 1
 
+
+class _Counters:
+    """Thread-safe funnel counters (the ``-j`` fan-out increments these
+    from pool threads).  Dict-like reads; writes go through ``add``."""
+
+    _KEYS = ("total", "jaccard", "interval", "lowercase", "qgram")
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._c = {k: 0 for k in self._KEYS}
+
+    def add(self, key: str, n: int = 1) -> None:
+        with self._lock:
+            self._c[key] += n
+
+    def reset(self) -> None:
+        with self._lock:
+            for k in self._c:
+                self._c[k] = 0
+
+    def __getitem__(self, key: str) -> int:
+        with self._lock:
+            return self._c[key]
+
+    def keys(self):
+        return self._c.keys()
+
+    def __iter__(self):
+        return iter(self._KEYS)
+
+    def snapshot(self) -> dict[str, int]:
+        with self._lock:
+            return dict(self._c)
+
+
 # funnel counters (search_main.cc:186-193 report)
-COUNTERS = {"total": 0, "jaccard": 0, "interval": 0, "lowercase": 0,
-            "qgram": 0}
+COUNTERS = _Counters()
 
 
 def min_qgram(l: int, q: int, cfg: Config = DEFAULT) -> int:
@@ -55,7 +91,7 @@ def filter_hit(qseq: PackedSeq, q_start: int, q_end: int,
         q_up = uppercase_count(qseq, q_start, q_end)
         r_up = uppercase_count(rseq, r_start, r_end)
         if q_up < cfg.search.min_uppercase or r_up < cfg.search.min_uppercase:
-            COUNTERS["lowercase"] += 1
+            COUNTERS.add("lowercase")
             return False, f"upper ({q_up}, {r_up}) < {cfg.search.min_uppercase}"
 
     if cfg.internal.do_qgram:
@@ -66,6 +102,6 @@ def filter_hit(qseq: PackedSeq, q_start: int, q_end: int,
         hr = _qgram_hist(rseq.code[r_start:r_end])
         dist = int(np.minimum(hq, hr).sum())
         if dist < minqg:
-            COUNTERS["qgram"] += 1
+            COUNTERS.add("qgram")
             return False, f"q-grams {dist} < {minqg}"
     return True, ""

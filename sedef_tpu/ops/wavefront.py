@@ -227,6 +227,9 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
     B = tgt.shape[0]
     assert B % (SUB * G) == 0, "pad the batch to a multiple of SUB*G"
     W = G * S_t
+    assert W >= 128, (
+        f"lane width G*S_t = {W} < 128: pad S_t to a size class >= 128 "
+        "(the injection-lane concat assumes a full 128-lane first block)")
     n_diag = S_q + S_t - 1
     chunk = _chunk_for(S_q, S_t, chunk, width=W, sub=SUB)
     n_chunks = (n_diag + chunk - 1) // chunk
@@ -372,16 +375,17 @@ def backtrack_pallas_batch(p, ql, tl, S_q: int, S_t: int, chunk: int = 256,
     when it is not).
 
     The walk is sequential per problem but rows are visited in strictly
-    decreasing r, so a reverse sweep over p's rows services all 8 sublane
-    walkers of a group in lockstep: each row is loaded once, the walker's
-    cell is extracted with a one-hot lane mask + row reduction, and the
-    ksw2 state machine (``ksw2.h:117-151``) advances in (8, 128) vector
-    registers (every lane of a walker row carries the same scalar).
-    For lane-packed fills (G > 1) each walker group services one lane
-    stride class g: walker (wg, s) reads lane i*G + g of packed group
-    wg // G.
+    decreasing r, so a reverse sweep over p's rows services all SUB
+    sublane walkers of a group in lockstep (SUB read from ``p.shape[2]``):
+    each row is loaded once, the walker's cell is extracted with a
+    one-hot lane mask + row reduction, and the ksw2 state machine
+    (``ksw2.h:117-151``) advances in (SUB, 128) vector registers (every
+    lane of a walker row carries the same scalar).  For lane-packed
+    fills (G > 1) each walker group services one lane stride class g:
+    walker (wg, s) reads lane i*G + g of packed group wg // G.
 
-    p:  (B//(8G), n_rows, 8, G*S_t) uint8 from ``wavefront_pallas_batch``
+    p:  (B//(SUB*G), n_rows, SUB, G*S_t) uint8 from
+        ``wavefront_pallas_batch``
     ql: (B, 128) int32 — true query length, broadcast along lanes
     tl: (B, 128) int32 — true target length
     Returns ops: (B, n_rows) uint8, problem-major: op byte per
@@ -661,8 +665,8 @@ def _pad_to_class(n: int) -> int:
 def _chunk_for(S_q: int, S_t: int, chunk: int = 256,
                width: int | None = None, sub: int = 8) -> int:
     """Diagonal rows per grid step: capped so the (1, chunk, sub, width)
-    uint8 output block stays within a VMEM budget (~512 KB at sub=8,
-    ~2 MB for wider sublane packings), floored to the 8-row store
+    uint8 output block stays within a VMEM budget (512 KiB at sub=8,
+    4 MiB for wider sublane packings), floored to the 8-row store
     alignment, and never a single chunk (a JAX interpret-mode bug
     miscompares scalars derived from size-1 grid dims).  ``width`` is the
     lane width of a compute row (G * S_t for lane-packed small classes)."""
@@ -690,12 +694,23 @@ def _lane_groups(S_t: int) -> int:
     return max(1, min(8, 1024 // max(S_t, 1)))
 
 
-def _sublane_pack(S_t: int) -> int:
+def _sublane_pack(S_t: int, n_problems: int | None = None) -> int:
     """Problems packed per vector op in the sublane dimension.  Wider
     than the physical 8 sublanes: each op then covers SUB/8 registers,
     amortizing instruction issue over 4x the cells along the sequential
-    per-diagonal dependency chain (measured ~3x on v5e at 32)."""
-    return 32
+    per-diagonal dependency chain (measured ~3x on v5e at 32).
+
+    Scaled down for wide rows so the five int32 (SUB, G*S_t) VMEM state
+    buffers stay within ~10 MB (SUB*W <= 512K lanes): a 60 Kbp chunk
+    class (W = 61440) runs at SUB=8.  When the actual group population
+    ``n_problems`` is small, SUB shrinks to the padded size so a handful
+    of problems does not pay full 32-wide padding."""
+    W = _lane_groups(S_t) * S_t
+    sub = max(8, min(32, (512 * 1024 // max(W, 1)) // 8 * 8))
+    if n_problems is not None:
+        need = max(8, -(-n_problems // _lane_groups(S_t)) // 8 * 8)
+        sub = min(sub, need)
+    return sub
 
 
 def wavefront_device(qcodes, tgt, S_q: int, S_t: int, **kw):
@@ -831,7 +846,7 @@ class WavefrontAligner:
             # lane packing) so each (B, S_q, S_t) shape compiles once per
             # session
             G = _lane_groups(S_t)
-            SUB = _sublane_pack(S_t)
+            SUB = _sublane_pack(S_t, len(idxs))
             B = SUB * G
             while B < len(idxs):
                 B <<= 1
