@@ -33,6 +33,19 @@ from .aligner import fast_align
 from .seeder import initial_search
 
 
+def auto_device() -> bool:
+    """Default device policy: stage-1 device ops (index build, roll engine)
+    are on whenever the default JAX backend is a real TPU; the CPU backend
+    runs the host paths (faster there, and tests force cpu)."""
+    if os.environ.get("SEDEF_NO_DEVICE", ""):
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 class IndexCache:
     """Per-(chromosome, strand) MinimizerIndex cache shared across pair
     jobs.  The reference re-indexes in every one of its ~n(n+1) processes
@@ -40,10 +53,10 @@ class IndexCache:
     chromosome indexed once per strand.  Thread-safe for the -j fan-out."""
 
     def __init__(self, fr: FastaReference, cfg: Config,
-                 use_device: bool = False):
+                 use_device: bool | None = None):
         self.fr = fr
         self.cfg = cfg
-        self.use_device = use_device
+        self.use_device = auto_device() if use_device is None else use_device
         self._cache: dict[tuple[str, bool], MinimizerIndex] = {}
         import threading
         self._lock = threading.Lock()
@@ -80,7 +93,7 @@ class IndexCache:
 
 def search_job(fr: FastaReference, query_chrs: list[str],
                ref_chrs: list[str], is_rc: bool, cfg: Config = DEFAULT,
-               use_device: bool = False,
+               use_device: bool | None = None,
                cache: "IndexCache | None" = None,
                report_fails: bool = False) -> list[str]:
     """One stage-1 job: all query x ref chromosome pairs of two super-bins
@@ -101,7 +114,7 @@ def search_job(fr: FastaReference, query_chrs: list[str],
 
 
 def search_stage(fr: FastaReference, bins: list[list[str]],
-                 cfg: Config = DEFAULT, use_device: bool = False,
+                 cfg: Config = DEFAULT, use_device: bool | None = None,
                  progress=None, jobs: int = 1) -> list[str]:
     """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
 
@@ -291,7 +304,7 @@ def _eprn(msg: str, quiet: bool) -> None:
 
 
 def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
-                 nbuckets: int = 1000, use_device: bool = False,
+                 nbuckets: int = 1000, use_device: bool | None = None,
                  aligner: WavefrontAligner | None = None,
                  jobs: int = 1, quiet: bool = True,
                  force: bool = False) -> dict[str, str]:

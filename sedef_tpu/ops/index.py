@@ -28,17 +28,31 @@ class MinimizerIndex:
         self.seq = seq
         self.kmer_size = kmer_size
         self.window_size = window_size
-        keys, locs = minimizers(seq.code, seq.cls, kmer_size, window_size,
-                                use_device=use_device)
-        if not separate_lowercase:
-            # ALL_LOWERCASE status collapses into HAS_UPPERCASE (hash.cc:81-83)
-            status = keys >> (2 * kmer_size)
-            keys = np.where(status == 1, keys - (1 << (2 * kmer_size)), keys)
-        self.keys = keys          # int64, in locus order
-        self.locs = locs          # int32, ascending
-        order = np.argsort(keys, kind="stable")
-        self.skeys = keys[order]
-        self.slocs = locs[order]
+        dev = None
+        if use_device and separate_lowercase:
+            # full index build (winnow + posting sort) as one device call
+            from .winnow_device import device_index_arrays
+            dev = device_index_arrays(seq.code, seq.cls, kmer_size,
+                                      window_size)
+        if dev is not None:
+            keys, locs, skeys, slocs = dev
+            self.keys = keys
+            self.locs = locs
+            self.skeys = skeys
+            self.slocs = slocs
+        else:
+            keys, locs = minimizers(seq.code, seq.cls, kmer_size,
+                                    window_size, use_device=use_device)
+            if not separate_lowercase:
+                # ALL_LOWERCASE collapses into HAS_UPPERCASE (hash.cc:81-83)
+                status = keys >> (2 * kmer_size)
+                keys = np.where(status == 1,
+                                keys - (1 << (2 * kmer_size)), keys)
+            self.keys = keys          # int64, in locus order
+            self.locs = locs          # int32, ascending
+            order = np.argsort(keys, kind="stable")
+            self.skeys = keys[order]
+            self.slocs = locs[order]
 
         # Frequency threshold (hash.cc:124-140): let ``ignore`` be the number
         # of distinct hashes we may drop; walking posting-list sizes from the

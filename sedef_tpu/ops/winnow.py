@@ -23,13 +23,26 @@ tests/fixtures/minimizers_*.txt):
   (hash.cc:95-97), so the emitted minimizers are: the front active at p = w,
   then every later change point.
 
-The rolling-key computation is fully vectorized; the change-point scan is a
-tight O(n) loop (NumPy fallback here; the C++ native library provides the
-fast host path, and a device formulation can batch the precomputed
-sliding-window minima).
+The scan admits a closed form (proved by induction, verified against the
+scan in tests/test_winnow.py): *every* change point satisfies
+``key[p] <= min(key[max(0, p-w) .. p-1])`` and vice versa — the q/m carry
+state of the literal derivation is redundant.  Sketch: a change with the
+previous change q inside the window needs ``kp <= min(key[q..p-1])``; by
+induction q itself satisfied ``kq <= min(key[q-w..q-1])
+<= min(key[p-w..q-1])``, and ``kp <= m <= kq``, so ``kp`` is also <= the
+full-window minimum.  The converse (full-window min => change) is
+immediate since ``m`` ranges over a subset of the window.
+
+That makes reference-exact winnowing embarrassingly parallel:
+``minimizer positions = { p : key[p] <= W[p] }`` with W a plain sliding-
+window minimum — computed here as a batched JAX op (log2(w) shift-min
+steps) so index construction is TPU-resident (the north-star "seeding
+becomes batched JAX ops over packed 2-bit genome windows").
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -99,6 +112,15 @@ def change_points_np(keys: np.ndarray, w: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int64)
 
 
+def change_points_closed_np(keys: np.ndarray, w: int) -> np.ndarray:
+    """Closed form of the change-point scan (see module doc): positions
+    where key[p] <= min(key[max(0, p-w) .. p-1]).  Fully parallel."""
+    if keys.shape[0] == 0:
+        return np.empty(0, dtype=np.int64)
+    W = sliding_window_min_np(keys, w)
+    return np.nonzero(keys <= W)[0].astype(np.int64)
+
+
 def minimizers_np(code: np.ndarray, cls: np.ndarray, k: int, w: int
                   ) -> tuple[np.ndarray, np.ndarray]:
     """All minimizers of a sequence: (keys int64, locs int32), loc-sorted.
@@ -124,6 +146,11 @@ except Exception:  # pragma: no cover
 
 def minimizers(code: np.ndarray, cls: np.ndarray, k: int, w: int,
                use_device: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    if use_device:
+        from .winnow_device import minimizers_device
+        r = minimizers_device(code, cls, k, w)
+        if r is not None:
+            return r
     if _native is not None and _native.has("winnow"):
         return _native.winnow(code, cls, k, w)
     return minimizers_np(code, cls, k, w)
