@@ -64,13 +64,24 @@ def simulate_genome(length: int = 5_000_000, n_sds: int = 20,
                     sd_min: int = 1500, sd_max: int = 40_000,
                     max_divergence: float = 0.12, rc_fraction: float = 0.3,
                     n_chroms: int = 1, seed: int = 0,
-                    n_run_every: int = 0
+                    n_run_every: int = 0,
+                    repeat_families: int = 0, repeat_copies: int = 0,
+                    repeat_len: tuple[int, int] = (400, 2500),
+                    repeat_div: tuple[float, float] = (0.08, 0.40)
                     ) -> tuple[dict[str, str], list[PlantedSD]]:
     """Returns ({chrom_name: sequence}, planted SD list).
 
     Background is lowercase (soft-masked) random sequence; SD copies are
     uppercase.  Copies are placed at random non-overlapping positions,
     possibly across chromosomes.
+
+    ``repeat_families``/``repeat_copies`` plant additional UPPERCASE
+    repeat families (each family = one ancestral element copied
+    ``repeat_copies`` times at divergences spanning ``repeat_div``).
+    These are the hg19-like distractors that make stage-1 roll-bound:
+    every copy pair forms a candidate interval whose sliding-Jaccard scan
+    must run, and the high-divergence pairs fail the gate after the scan.
+    They are not recorded in the planted list.
     """
     rng = np.random.default_rng(seed)
     per_chrom = length // n_chroms
@@ -117,6 +128,23 @@ def simulate_genome(length: int = 5_000_000, n_sds: int = 20,
             buf[cb][sb:sb + len(b_str)] = b_str
         planted.append(PlantedSD(ca, sa, sa + ln, cb, sb,
                                  sb + len(copy_codes), is_rc, div))
+
+    for _fam in range(repeat_families):
+        ln = int(rng.integers(repeat_len[0], repeat_len[1]))
+        ancestor = _rand_codes(rng, ln)
+        for _ci in range(repeat_copies):
+            div = float(rng.uniform(repeat_div[0], repeat_div[1]))
+            copy = _mutate_codes(rng, ancestor, div)
+            cc = names[int(rng.integers(0, len(names)))]
+            sc = place(cc, len(copy))
+            if sc is None:
+                continue
+            cstr = _to_str(copy, upper=True)
+            if rng.random() < rc_fraction:
+                from ..ops.dna import revcomp as _rc
+                cstr = np.frombuffer(
+                    _rc(cstr.tobytes().decode()).encode(), dtype=np.uint8)
+            buf[cc][sc:sc + len(cstr)] = cstr
 
     if n_run_every:
         for name in names:

@@ -108,7 +108,8 @@ def search_job(fr: FastaReference, query_chrs: list[str],
             qh = cache.get(q, False)
             same_genome = (q == r) and not is_rc
             hits = initial_search(qh, rh, same_genome, cfg,
-                                  report_fails=report_fails)
+                                  report_fails=report_fails,
+                                  use_device=cache.use_device)
             lines.extend(h.to_bed() for h in hits)
     return lines
 

@@ -436,14 +436,57 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
     return parse_hits(hits)
 
 
+# below this many total planned roll steps per chromosome pair, the device
+# dispatch overhead beats the host roll (~37 ns/step native vs ~30 ms per
+# dispatch on this tunneled v5e; on a directly-attached host the floor is
+# ~100x lower — override with SEDEF_ROLL_DEVICE_MIN_STEPS)
+ROLL_DEVICE_MIN = int(__import__("os").environ.get(
+    "SEDEF_ROLL_DEVICE_MIN_STEPS", 2_000_000))
+
+
+_ROLL_ENGINES: dict = {}
+
+
+def _device_roll_results(query_hash: MinimizerIndex,
+                         ref_hash: MinimizerIndex, plan, cfg: Config):
+    """Run the batched TPU roll engine over a speculative plan
+    (native sedef_search_plan).  Returns (best_j, best_steps, ok)."""
+    import numpy as np
+
+    from ..ops.roll_engine import RollEngine
+    from ..ops.stat_model import relaxed_jaccard_estimate
+
+    win, iv = plan
+    k = cfg.search.kmer_size
+    eng = _ROLL_ENGINES.get((k, id(cfg)))
+    if eng is None:
+        lut = np.array([relaxed_jaccard_estimate(s, k, cfg)
+                        for s in range(161)], np.int32)
+        eng = RollEngine(k, lut)
+        _ROLL_ENGINES[(k, id(cfg))] = eng
+    qk, _ = query_hash.device_arrays()
+    rk, rl = ref_hash.device_arrays()
+    # per-interval window columns
+    woff = np.repeat(np.arange(len(win)), win[:, 3])
+    qws = win[woff, 1]
+    qwe = win[woff, 2]
+    return eng.run(qk, rk, rl, len(ref_hash.keys), len(ref_hash.seq),
+                   qws, qwe, iv[:, 0], iv[:, 2], iv[:, 3], iv[:, 4],
+                   iv[:, 5])
+
+
 def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                    is_same_genome: bool, cfg: Config = DEFAULT,
                    report=None, use_native: bool | None = None,
-                   report_fails: bool = False) -> list[Hit]:
+                   report_fails: bool = False,
+                   use_device: bool | None = None) -> list[Hit]:
     """search_main.cc:40-82 — the per-chromosome-pair driver.
 
     Dispatches to the C++ native core (native/native.cc sedef_search —
-    parity-tested against this implementation) unless disabled.
+    parity-tested against this implementation) unless disabled.  With
+    ``use_device`` the roll-to-best scans (search.cc:289-315, the
+    reference's hottest loop) run batched on the TPU (ops/roll_engine.py)
+    and the native core consumes the verdicts; output is byte-identical.
     ``report_fails`` emits diagnostic rows for windows rejected by the
     Jaccard / interval / uppercase / q-gram gates (search.cc fail hits);
     it always runs the Python engine, which carries the fail comments."""
@@ -452,13 +495,28 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
         use_native = os.environ.get("SEDEF_NO_NATIVE", "") == ""
     if report_fails:
         use_native = False
+    if use_device is None:
+        from .pipeline import auto_device
+        use_device = auto_device()
     if use_native:
         try:
             from ..native import lib as _native
         except Exception:  # pragma: no cover
             _native = None
         if _native is not None and _native.has("search"):
-            rows = _native.search(query_hash, ref_hash, is_same_genome, cfg)
+            plan = results = None
+            if (use_device and cfg.search.kmer_size <= 13
+                    and _native.has("search_plan")):
+                plan = _native.search_plan(query_hash, ref_hash,
+                                           is_same_genome, cfg)
+                if (len(plan[1])
+                        and int(plan[1][:, 4].sum()) >= ROLL_DEVICE_MIN):
+                    results = _device_roll_results(query_hash, ref_hash,
+                                                   plan, cfg)
+                else:
+                    plan = None
+            rows = _native.search(query_hash, ref_hash, is_same_genome,
+                                  cfg, plan=plan, results=results)
             qref = SeqRef(query_hash.seq.name, query_hash.seq.is_rc,
                           len(query_hash.seq))
             rref = SeqRef(ref_hash.seq.name, ref_hash.seq.is_rc,

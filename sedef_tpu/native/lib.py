@@ -43,8 +43,21 @@ if _lib is not None:
          ctypes.c_int64] * 2
         + [ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
            ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_int,
-           ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-           _i32, ctypes.c_int64, _i64])
+           ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        # optional device plan (pass None to disable)
+        + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        + [_i32, ctypes.c_int64, _i64])
+
+    if hasattr(_lib, "sedef_search_plan"):
+        _lib.sedef_search_plan.restype = ctypes.c_int64
+        _lib.sedef_search_plan.argtypes = [
+            _i64, _i32, ctypes.c_int64, ctypes.c_int64,
+            _i64, _i32, ctypes.c_int64, _i64, _i32, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int,
+            _i32, ctypes.c_int64, _i32, ctypes.c_int64, _i64]
 
     _lib.sedef_backtrack.restype = ctypes.c_int64
     _lib.sedef_backtrack.argtypes = [
@@ -118,9 +131,51 @@ def winnow(code: np.ndarray, cls: np.ndarray, k: int, w: int):
     return keys[locs], locs
 
 
-def search(q_index, r_index, same_genome: bool, cfg) -> np.ndarray:
+def search_plan(q_index, r_index, same_genome: bool, cfg):
+    """Speculative stage-1 plan (sedef_search_plan): every window/interval
+    the production pass can visit, computed with an empty dedup tree.
+
+    Returns (win (n_win, 4) int32 [loc, qws, qwe, n_iv],
+             iv (n_iv, 6) int32 [t0, t1, rws0, init_cnt, n_steps, re0])."""
+    from ..ops.stat_model import tau
+
+    win_cap = max(len(q_index.keys), 16)
+    iv_cap = max(2 * len(q_index.keys), 64)
+    counts = np.zeros(2, dtype=np.int64)
+    while True:
+        win = np.empty(win_cap * 4, dtype=np.int32)
+        iv = np.empty(iv_cap * 6, dtype=np.int32)
+        rc = _lib.sedef_search_plan(
+            np.ascontiguousarray(q_index.keys),
+            np.ascontiguousarray(q_index.locs),
+            len(q_index.keys), len(q_index.seq),
+            np.ascontiguousarray(r_index.keys),
+            np.ascontiguousarray(r_index.locs),
+            len(r_index.keys),
+            np.ascontiguousarray(r_index.skeys),
+            np.ascontiguousarray(r_index.slocs),
+            int(r_index.threshold), len(r_index.seq),
+            cfg.search.kmer_size,
+            tau(cfg.search.max_edit_error, cfg.search.kmer_size, cfg),
+            cfg.search.min_read_size, cfg.search.max_error,
+            int(same_genome), int(cfg.internal.do_uppercase_seeds),
+            win, win_cap, iv, iv_cap, counts)
+        if rc == 0:
+            n_win, n_iv = int(counts[0]), int(counts[1])
+            return (win[:n_win * 4].reshape(n_win, 4),
+                    iv[:n_iv * 6].reshape(n_iv, 6))
+        win_cap *= 2
+        iv_cap *= 4
+
+
+def search(q_index, r_index, same_genome: bool, cfg,
+           plan=None, results=None) -> np.ndarray:
     """Full initial_search via the native core; returns (n, 5) int32 array
-    of (qs, qe, rs, re, jaccard).  Indexes are MinimizerIndex objects."""
+    of (qs, qe, rs, re, jaccard).  Indexes are MinimizerIndex objects.
+
+    ``plan`` ((win, iv) from search_plan) + ``results`` ((best_j,
+    best_steps, ok) from the device roll engine, in iv order) let the core
+    skip device-resolved rolls; output is byte-identical either way."""
     from ..ops.stat_model import tau
 
     def args_for(ix):
@@ -133,6 +188,24 @@ def search(q_index, r_index, same_genome: bool, cfg) -> np.ndarray:
                 np.ascontiguousarray(ix.seq.cls),
                 np.ascontiguousarray(ix.seq.code),
                 len(ix.seq)]
+
+    def vp(a):
+        return ctypes.c_void_p(a.ctypes.data)
+
+    if plan is not None:
+        win, iv = plan
+        win = np.ascontiguousarray(win, np.int32)
+        iv = np.ascontiguousarray(iv, np.int32)
+        if results is not None:
+            bj = np.ascontiguousarray(results[0], np.int32)
+            bs = np.ascontiguousarray(results[1], np.int32)
+            ok = np.ascontiguousarray(results[2], np.uint8)
+        else:
+            bj = bs = np.empty(0, np.int32)
+            ok = np.zeros(len(iv), np.uint8)
+        plan_args = [vp(win), len(win), vp(iv), vp(bj), vp(bs), vp(ok)]
+    else:
+        plan_args = [None, 0, None, None, None, None]
 
     cap = 1 << 16
     counters = np.zeros(5, dtype=np.int64)
@@ -148,6 +221,7 @@ def search(q_index, r_index, same_genome: bool, cfg) -> np.ndarray:
             int(same_genome), int(cfg.internal.do_uppercase),
             int(cfg.internal.do_qgram),
             int(cfg.internal.do_uppercase_seeds),
+            *plan_args,
             out, cap, counters)
         if n >= 0:
             from ..ops import filter as filt

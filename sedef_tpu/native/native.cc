@@ -497,12 +497,17 @@ static OutHit extend_hit(Sketch &w, const IndexView &Q, const IndexView &R,
   return OutHit{st.qs, st.qe, st.rs, st.re, w.jaccard()};
 }
 
+// dev: optional device roll verdict [best_jaccard, best_steps] from the
+// batched TPU roll engine (ops/roll_engine.py) — the interval's op stream
+// is identical, so the scan is skipped and only the winning prefix is
+// replayed.  null -> scalar roll here.
 static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
                             const IndexView &Q, const IndexView &R,
                             std::vector<Rect> &tree, int init_len,
                             const Sketch &winnow0, int32_t t_start,
                             int32_t t_end, const SearchParams &P,
-                            Counters &C, std::vector<OutHit> &hits) {
+                            Counters &C, std::vector<OutHit> &hits,
+                            const int32_t *dev = nullptr) {
   C.total++;
   prof::intervals.fetch_add(1, std::memory_order_relaxed);
   const int64_t nr = R.nmin;
@@ -520,24 +525,39 @@ static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
   const int32_t init_rs = ref_start, init_re = ref_end;
   const int64_t init_rws = rws, init_rwe = rwe;
   int best_j = w.jaccard();
-  int32_t best_rs = ref_start, best_re = ref_end;
-  int64_t best_steps = 0, steps = 0;
-  while (ref_start < t_end && ref_end < R.len) {
-    if (rws < nr && R.locs[rws] < ref_start + 1) w.remove_ref(R.keys[rws++]);
-    if (rwe < nr && R.locs[rwe] == ref_end) w.add_ref(R.keys[rwe++]);
-    steps++;
-    if (w.jaccard() > best_j) {
-      best_j = w.jaccard();
-      best_rs = ref_start;
-      best_re = ref_end;
-      best_steps = steps;
+  int64_t best_steps = 0;
+  int32_t final_rs, final_re;
+  if (dev) {
+    // scan already done on device; n_steps is deterministic
+    int64_t n_steps =
+        ref_end < (int32_t)R.len
+            ? std::max<int64_t>(
+                  0, std::min<int64_t>(t_end - t_start,
+                                       (int64_t)R.len - ref_end))
+            : 0;
+    best_j = dev[0];
+    best_steps = dev[1];
+    final_rs = (int32_t)(t_start + n_steps);
+    final_re = (int32_t)(init_re + n_steps);
+  } else {
+    int64_t steps = 0;
+    while (ref_start < t_end && ref_end < R.len) {
+      if (rws < nr && R.locs[rws] < ref_start + 1)
+        w.remove_ref(R.keys[rws++]);
+      if (rwe < nr && R.locs[rwe] == ref_end) w.add_ref(R.keys[rwe++]);
+      steps++;
+      if (w.jaccard() > best_j) {
+        best_j = w.jaccard();
+        best_steps = steps;
+      }
+      ref_start++;
+      ref_end++;
+      if (ref_end == R.len) break;
     }
-    ref_start++;
-    ref_end++;
-    if (ref_end == R.len) break;
+    final_rs = ref_start;
+    final_re = ref_end;
+    prof::roll_steps.fetch_add(steps, std::memory_order_relaxed);
   }
-  const int32_t final_rs = ref_start, final_re = ref_end;
-  prof::roll_steps.fetch_add(steps, std::memory_order_relaxed);
   prof::ns[prof::ROLL].fetch_add(prof::now() - t_roll,
                                  std::memory_order_relaxed);
 
@@ -589,6 +609,156 @@ static void search_interval(int32_t query_start, int64_t qws, int64_t qwe,
   tree.push_back(Rect{h.qs, h.qe, h.rs, h.re});
 }
 
+// Candidate collection + clustering for one query window
+// (search.cc:407-452).  tree == nullptr skips the dedup probes
+// (speculative plan mode; see sedef_search_plan).  Returns the distinct
+// window-key count and fills T with the (same_genome-clamped, t0<=t1)
+// intervals in ascending order.
+static int collect_intervals(const IndexView &Q, const IndexView &R,
+                             const std::vector<Rect> *tree, int64_t qi,
+                             int32_t query_start, const SearchParams &P,
+                             int64_t *qwe_out,
+                             std::vector<std::pair<int32_t, int32_t>> &T) {
+  const int n_shift = 2 * P.kmer_size;
+  static thread_local std::vector<int64_t> wkeys;
+  wkeys.clear();
+  static thread_local std::vector<int32_t> cand_v;
+  cand_v.clear();
+  int64_t t_collect = prof::now();
+  int64_t qwe = qi;
+  while (qwe < Q.nmin && Q.locs[qwe] - query_start <= P.min_read_size) {
+    int64_t key = Q.keys[qwe];
+    wkeys.push_back(key);
+    qwe++;
+    if (P.do_uppercase_seeds && (key >> n_shift) != 0) continue;
+    int64_t lo, hi;
+    R.posting(key, &lo, &hi);
+    int64_t sz = hi - lo;
+    if (sz == 0 || sz >= R.threshold) continue;
+    int32_t qloc = Q.locs[qwe - 1];
+    for (int64_t pi = lo; pi < hi; pi++) {
+      int32_t pos = R.slocs[pi];
+      if (!P.same_genome || pos >= query_start + P.min_read_size) {
+        if (!tree || !tree_covers(*tree, qloc, pos)) cand_v.push_back(pos);
+      }
+    }
+  }
+  *qwe_out = qwe;
+  std::sort(wkeys.begin(), wkeys.end());
+  int distinct =
+      (int)(std::unique(wkeys.begin(), wkeys.end()) - wkeys.begin());
+  prof::ns[prof::COLLECT].fetch_add(prof::now() - t_collect,
+                                    std::memory_order_relaxed);
+  T.clear();
+  if (!distinct) return 0;
+  int64_t t_cluster = prof::now();
+  std::sort(cand_v.begin(), cand_v.end());
+  cand_v.erase(std::unique(cand_v.begin(), cand_v.end()), cand_v.end());
+  int limit;  // Sketch::limit_for(distinct)
+  if (distinct <= 0) limit = 0;
+  else if (distinct == 1) limit = 1;
+  else limit = (int)std::ceil(distinct * P.tau_k) + 1;
+  for (int64_t i = 0; i <= (int64_t)cand_v.size() - limit; i++) {
+    int64_t j = i + limit - 1;
+    if (cand_v[j] - cand_v[i] <= P.min_read_size) {
+      int32_t x = std::max(0, cand_v[j] - P.min_read_size + 1);
+      int32_t y = cand_v[i] + 1;
+      if (!T.empty() && x < T.back().second)
+        T.back().second = std::max(T.back().second, y);
+      else
+        T.push_back({x, y});
+    }
+  }
+  // same_genome clamp + empty drop (applied identically in plan and
+  // production so interval tuples match exactly)
+  std::vector<std::pair<int32_t, int32_t>> keep;
+  for (auto &t : T) {
+    int32_t a = t.first;
+    if (P.same_genome) a = std::max(a, query_start + P.min_read_size);
+    if (a <= t.second) keep.push_back({a, t.second});
+  }
+  T.swap(keep);
+  prof::ns[prof::CLUSTER].fetch_add(prof::now() - t_cluster,
+                                    std::memory_order_relaxed);
+  return distinct;
+}
+
+// Speculative stage-1 plan: enumerate every (window, candidate interval)
+// the production pass can visit, with an EMPTY dedup tree and the
+// deterministic stride.  Per window: [loc, qws, qwe, n_intervals]; per
+// interval: [t0, t1, rws0, init_cnt, n_steps, re0] — everything the
+// device roll engine needs.  Returns 0, or -1 when caps are too small.
+int64_t sedef_search_plan(
+    const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
+    int64_t q_len,
+    const int64_t *r_keys, const int32_t *r_locs, int64_t r_nmin,
+    const int64_t *r_skeys, const int32_t *r_slocs, int64_t r_threshold,
+    int64_t r_len,
+    int kmer_size, double tau_k, int min_read_size, double max_error,
+    int same_genome, int do_uppercase_seeds,
+    int32_t *win_out, int64_t win_cap, int32_t *iv_out, int64_t iv_cap,
+    int64_t *counts_out) {
+  IndexView Q{q_keys, q_locs, q_nmin, nullptr, nullptr, 0,
+              nullptr, nullptr, q_len};
+  IndexView R{r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold,
+              nullptr, nullptr, r_len};
+  SearchParams P{};
+  P.kmer_size = kmer_size;
+  P.tau_k = tau_k;
+  P.min_read_size = min_read_size;
+  P.max_error = max_error;
+  P.same_genome = same_genome;
+  P.do_uppercase_seeds = do_uppercase_seeds;
+  const int n_shift = 2 * kmer_size;
+  const int32_t stride = (int32_t)(min_read_size * max_error) / 2;
+
+  int64_t n_win = 0, n_iv = 0;
+  int32_t next_to_attain = 0;
+  std::vector<std::pair<int32_t, int32_t>> T;
+  for (int64_t qi = 0; qi < q_nmin; qi++) {
+    int32_t loc = q_locs[qi];
+    if (loc < next_to_attain) continue;
+    if (do_uppercase_seeds && (q_keys[qi] >> n_shift) != 0) continue;
+    next_to_attain = loc + stride;  // min_len >= min_read always (see
+                                    // sedef_search; desyncs are handled by
+                                    // the loc merge-join there)
+    int32_t nT = 0;
+    int64_t qwe = qi;
+    if (loc + min_read_size <= q_len) {
+      int distinct = collect_intervals(Q, R, nullptr, qi, loc, P, &qwe, T);
+      if (distinct) nT = (int32_t)T.size();
+    }
+    if (n_win + 1 > win_cap || n_iv + nT > iv_cap) return -1;
+    win_out[n_win * 4 + 0] = loc;
+    win_out[n_win * 4 + 1] = (int32_t)qi;
+    win_out[n_win * 4 + 2] = (int32_t)qwe;
+    win_out[n_win * 4 + 3] = nT;
+    n_win++;
+    for (int32_t t = 0; t < nT; t++) {
+      int32_t t0 = T[t].first, t1 = T[t].second;
+      int32_t rws0 = R.find_minimizers(t0);
+      int32_t re0 = (int32_t)std::min<int64_t>(t0 + min_read_size, r_len);
+      int64_t rwe0 = rws0;
+      while (rwe0 < r_nmin && R.locs[rwe0] < re0) rwe0++;
+      int64_t n_steps =
+          re0 < (int32_t)r_len
+              ? std::max<int64_t>(
+                    0, std::min<int64_t>(t1 - t0, r_len - re0))
+              : 0;
+      iv_out[n_iv * 6 + 0] = t0;
+      iv_out[n_iv * 6 + 1] = t1;
+      iv_out[n_iv * 6 + 2] = rws0;
+      iv_out[n_iv * 6 + 3] = (int32_t)(rwe0 - rws0);
+      iv_out[n_iv * 6 + 4] = (int32_t)n_steps;
+      iv_out[n_iv * 6 + 5] = re0;
+      n_iv++;
+    }
+  }
+  counts_out[0] = n_win;
+  counts_out[1] = n_iv;
+  return 0;
+}
+
 static void parse_hits(std::vector<OutHit> &hits) {
   std::vector<OutHit> keep;
   for (size_t i = 0; i < hits.size(); i++) {
@@ -607,6 +777,13 @@ static void parse_hits(std::vector<OutHit> &hits) {
 
 // full initial_search over a chromosome pair; returns hit count (or
 // -needed if out capacity is too small).  counters_out: int64[5].
+//
+// plan_win/plan_iv + res_*: optional speculative plan (sedef_search_plan)
+// with device roll verdicts (ops/roll_engine.py).  Windows whose candidate
+// set cannot have been altered by the dedup tree reuse the plan directly
+// (collect skipped, device verdict applied); tree-touched or desynced
+// windows fall back to the full scalar path.  Output is byte-identical
+// either way.
 int64_t sedef_search(
     // query index
     const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
@@ -621,6 +798,10 @@ int64_t sedef_search(
     double max_error, double max_edit_error, double gap_frequency,
     int min_uppercase, int same_genome, int do_uppercase, int do_qgram,
     int do_uppercase_seeds,
+    // optional device plan
+    const int32_t *plan_win, int64_t n_plan_win,
+    const int32_t *plan_iv, const int32_t *res_bj, const int32_t *res_bs,
+    const uint8_t *res_ok,
     // out
     int32_t *out, int64_t out_cap, int64_t *counters_out) {
   IndexView Q{q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold,
@@ -636,7 +817,11 @@ int64_t sedef_search(
   std::vector<Rect> tree;
   std::vector<OutHit> all;
   int32_t next_to_attain = 0;
-  int64_t prune_mark = 0;
+
+  // plan cursor: windows in both passes are visited in ascending loc
+  // order, so a merge-join on loc pairs them up; iv_base tracks the
+  // running interval offset of the skipped plan windows.
+  int64_t wcur = 0, iv_base = 0;
 
   for (int64_t qi = 0; qi < q_nmin; qi++) {
     int32_t loc = q_locs[qi];
@@ -651,71 +836,97 @@ int64_t sedef_search(
     // a candidate cluster actually survives.  Results are identical.
     std::vector<OutHit> hits;
     int32_t query_start = loc;
+
+    // pair this window with the plan (if any)
+    const int32_t *pw = nullptr;
+    int64_t piv0 = 0;
+    if (plan_win) {
+      while (wcur < n_plan_win && plan_win[wcur * 4] < loc) {
+        iv_base += plan_win[wcur * 4 + 3];
+        wcur++;
+      }
+      if (wcur < n_plan_win && plan_win[wcur * 4] == loc &&
+          plan_win[wcur * 4 + 1] == (int32_t)qi) {
+        pw = &plan_win[wcur * 4];
+        piv0 = iv_base;
+        iv_base += pw[3];
+        wcur++;
+      }
+    }
+    // the dedup tree can only have altered this window's candidates if
+    // some stored rectangle overlaps its query range
+    bool tree_free = true;
+    for (const auto &t : tree)
+      if (t.qs < query_start + min_read_size && t.qe > query_start) {
+        tree_free = false;
+        break;
+      }
+
     if (query_start + min_read_size <= (int64_t)q_len) {
-      static thread_local std::vector<int64_t> wkeys;
-      wkeys.clear();
-      static thread_local std::vector<int32_t> cand_v;
-      cand_v.clear();
-      int64_t t_collect = prof::now();
+      Sketch init_w(tau_k, n_shift);
+      bool sketch_built = false;
       int64_t qwe = qi;
-      while (qwe < q_nmin && q_locs[qwe] - query_start <= min_read_size) {
-        int64_t key = q_keys[qwe];
-        wkeys.push_back(key);
-        qwe++;
-        if (do_uppercase_seeds && (key >> n_shift) != 0) continue;
-        int64_t lo, hi;
-        R.posting(key, &lo, &hi);
-        int64_t sz = hi - lo;
-        if (sz == 0 || sz >= r_threshold) continue;
-        int32_t qloc = q_locs[qwe - 1];
-        for (int64_t pi = lo; pi < hi; pi++) {
-          int32_t pos = r_slocs[pi];
-          if (!same_genome || pos >= query_start + min_read_size) {
-            if (!tree_covers(tree, qloc, pos)) cand_v.push_back(pos);
+      bool did_work = false;
+
+      auto run_interval = [&](int32_t t0, int32_t t1, const int32_t *dev) {
+        if (dev && dev[0] < 0) {
+          // device-proven jaccard fail: no sketch, no roll, no replay
+          C.total++;
+          C.jaccard++;
+          prof::intervals.fetch_add(1, std::memory_order_relaxed);
+          return;
+        }
+        if (!sketch_built) {
+          for (int64_t wi = qi; wi < qwe; wi++) init_w.add_query(q_keys[wi]);
+          sketch_built = true;
+        }
+        search_interval(query_start, qi, qwe, Q, R, tree, min_read_size,
+                        init_w, t0, t1, P, C, hits, dev);
+      };
+
+      if (pw && tree_free) {
+        // plan is exact for this window: skip collect/cluster entirely
+        qwe = pw[2];
+        did_work = pw[3] > 0;
+        for (int32_t t = 0; t < pw[3]; t++) {
+          const int32_t *iv = &plan_iv[(piv0 + t) * 6];
+          int32_t dev[2];
+          const int32_t *devp = nullptr;
+          if (res_ok && res_ok[piv0 + t]) {
+            dev[0] = res_bj[piv0 + t];
+            dev[1] = res_bs[piv0 + t];
+            devp = dev;
+          }
+          run_interval(iv[0], iv[1], devp);
+        }
+      } else {
+        static thread_local std::vector<std::pair<int32_t, int32_t>> T;
+        int distinct =
+            collect_intervals(Q, R, &tree, qi, query_start, P, &qwe, T);
+        if (distinct) {
+          did_work = !T.empty();
+          // merge-join computed intervals against the plan's (both
+          // ascend by t0); only exact (t0, t1) tuples may reuse verdicts
+          int32_t pt = 0;
+          for (auto &t : T) {
+            const int32_t *devp = nullptr;
+            int32_t dev[2];
+            if (pw) {
+              while (pt < pw[3] && plan_iv[(piv0 + pt) * 6] < t.first) pt++;
+              if (pt < pw[3] &&
+                  plan_iv[(piv0 + pt) * 6] == t.first &&
+                  plan_iv[(piv0 + pt) * 6 + 1] == t.second &&
+                  res_ok && res_ok[piv0 + pt]) {
+                dev[0] = res_bj[piv0 + pt];
+                dev[1] = res_bs[piv0 + pt];
+                devp = dev;
+              }
+            }
+            run_interval(t.first, t.second, devp);
           }
         }
       }
-      std::sort(wkeys.begin(), wkeys.end());
-      int distinct =
-          (int)(std::unique(wkeys.begin(), wkeys.end()) - wkeys.begin());
-      prof::ns[prof::COLLECT].fetch_add(prof::now() - t_collect,
-                                        std::memory_order_relaxed);
-      if (distinct) {
-        int64_t t_cluster = prof::now();
-        std::sort(cand_v.begin(), cand_v.end());
-        cand_v.erase(std::unique(cand_v.begin(), cand_v.end()),
-                     cand_v.end());
-        std::vector<int32_t> &candidates = cand_v;
-        std::vector<std::pair<int32_t, int32_t>> T;
-        Sketch init_w(tau_k, n_shift);
-        bool sketch_built = false;
-        int limit = init_w.limit_for(distinct);
-        for (int64_t i = 0;
-             i <= (int64_t)candidates.size() - limit; i++) {
-          int64_t j = i + limit - 1;
-          if (candidates[j] - candidates[i] <= min_read_size) {
-            int32_t x = std::max(0, candidates[j] - min_read_size + 1);
-            int32_t y = candidates[i] + 1;
-            if (!T.empty() && x < T.back().second)
-              T.back().second = std::max(T.back().second, y);
-            else
-              T.push_back({x, y});
-          }
-        }
-        prof::ns[prof::CLUSTER].fetch_add(prof::now() - t_cluster,
-                                          std::memory_order_relaxed);
-        for (auto &t : T) {
-          if (same_genome)
-            t.first = std::max(t.first, query_start + min_read_size);
-          if (t.first > t.second) continue;
-          if (!sketch_built) {
-            for (int64_t wi = qi; wi < qwe; wi++)
-              init_w.add_query(q_keys[wi]);
-            sketch_built = true;
-          }
-          search_interval(query_start, qi, qwe, Q, R, tree, min_read_size,
-                          init_w, t.first, t.second, P, C, hits);
-        }
+      if (did_work) {
         // tree -= [0, query_start - min_read_size)
         int32_t upto = query_start - min_read_size;
         if (upto > 0) {

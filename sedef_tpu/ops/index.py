@@ -76,6 +76,31 @@ class MinimizerIndex:
     def __len__(self) -> int:
         return len(self.keys)
 
+    def device_arrays(self):
+        """(keys int32, locs int32) as device-resident jax arrays for the
+        roll engine (lazy upload; packed keys fit int32 for k <= 14).
+
+        Padded to the geometric size ladder so kernel shapes recur across
+        chromosome pairs (each distinct array length would otherwise be a
+        fresh XLA compile).  Pad loci are INT32_MAX: every consumer guards
+        with the true minimizer count."""
+        dev = getattr(self, "_dev", None)
+        if dev is None:
+            import jax
+
+            from .winnow_device import _pad_size
+            n = len(self.keys)
+            pad = _pad_size(max(n, 1)) - n
+            keys = self.keys.astype(np.int32)
+            locs = self.locs.astype(np.int32)
+            if pad:
+                fill = np.full(pad, 2**31 - 1, np.int32)
+                keys = np.concatenate([keys, fill])
+                locs = np.concatenate([locs, fill])
+            dev = (jax.device_put(keys), jax.device_put(locs))
+            self._dev = dev
+        return dev
+
     def find_minimizers(self, p: int) -> int:
         """Index of first minimizer with loc >= p (``hash.cc:143-161``)."""
         return int(np.searchsorted(self.locs, p, side="left"))
