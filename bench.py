@@ -26,6 +26,55 @@ import numpy as np
 
 KSW2_SINGLE_CORE_GCUPS = 1.17
 
+# reference seed stage: ~8.8 s/Mbp-core (hg19 7h33m single core, preprint
+# Table 1) => on the e2e workload below (20 Mbp, 4 chroms, 20 pair jobs)
+# the reference single-core stage-1 time is ~176 s; pair-jobs/hour follows.
+REF_PAIR_JOBS_PER_HOUR = 20 / (20 * 8.8 / 3600.0)
+
+
+def e2e_metrics() -> dict:
+    """End-to-end pipeline wall time + chr-pair-job throughput on a fixed
+    20 Mbp 4-chromosome repeat-rich synthetic genome (machine-checked
+    across rounds; BASELINE.json metric #2 stand-in)."""
+    import tempfile
+
+    from sedef_tpu.config import DEFAULT
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models import pipeline as pl
+    from sedef_tpu.models import reporter
+    from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+
+    chroms, planted = simulate_genome(20_000_000, 20, seed=7, n_chroms=4,
+                                      repeat_families=20, repeat_copies=40)
+    tmp = tempfile.mkdtemp()
+    fa = tmp + "/bench.fa"
+    write_fasta(fa, chroms)
+    fr = FastaReference(fa)
+    bins = generate_translation(fr)
+    n_jobs = len(bins) * (len(bins) + 1)  # i>=j x 2 strands
+
+    t0 = time.perf_counter()
+    seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
+    t_search = time.perf_counter() - t0
+    buckets = pl.bucket_stage(seeds, fr, bins, 16, DEFAULT)
+    flat = [line for b in buckets for line in b]
+    aligned = pl.canonical_sort_uniq(
+        pl.align_stage(flat, fr, DEFAULT, WavefrontAligner(), jobs=2))
+    final = pl.canonical_sort_uniq(reporter.stats_rows(aligned, fr, DEFAULT))
+    t_e2e = time.perf_counter() - t0
+    from sedef_tpu.models.genome_sim import recall_of
+    rec = recall_of(final, planted)
+    pair_jobs_per_hour = n_jobs / (t_search / 3600.0)
+    return {
+        "e2e_20mbp_s": round(t_e2e, 1),
+        "stage1_20mbp_s": round(t_search, 1),
+        "pair_jobs_per_hour": round(pair_jobs_per_hour),
+        "pair_jobs_vs_ref_core": round(
+            pair_jobs_per_hour / REF_PAIR_JOBS_PER_HOUR, 1),
+        "recall": f"{rec}/{len(planted)}",
+    }
+
 
 def main() -> None:
     import jax
@@ -67,11 +116,18 @@ def main() -> None:
 
     cells = float(B) * L * L * N * reps
     gcups = cells / dt / 1e9
+    extra = {}
+    if on_tpu:
+        try:
+            extra = e2e_metrics()
+        except Exception as e:  # pragma: no cover - keep the headline alive
+            extra = {"e2e_error": str(e)[:120]}
     print(json.dumps({
         "metric": "wavefront_dp_gcups" + ("" if on_tpu else "_cpu_fallback"),
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / KSW2_SINGLE_CORE_GCUPS, 2),
+        "extra": extra,
     }))
 
 

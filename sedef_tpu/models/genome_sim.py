@@ -158,6 +158,39 @@ def simulate_genome(length: int = 5_000_000, n_sds: int = 20,
     return chroms, planted
 
 
+def recall_of(final_rows: list[str], planted: list[PlantedSD],
+              frac: float = 0.8) -> int:
+    """Planted SDs recovered by >= ``frac`` reciprocal coverage in the
+    final BED rows.  Tries both mate orders INCLUDING the chromosome
+    swap — cross-chromosome SDs are canonically emitted with the mates
+    ordered by (chrom, position), which may invert the planted order."""
+    rows = []
+    for ln in final_rows:
+        f = ln.split("\t")
+        rows.append((f[0], int(f[1]), int(f[2]), f[3], int(f[4]), int(f[5])))
+
+    def ov(a, b):
+        return max(0, min(a[1], b[1]) - max(a[0], b[0]))
+
+    rec = 0
+    for sd in planted:
+        pa = (sd.a_start, sd.a_end)
+        pb = (sd.b_start, sd.b_end)
+        hit = False
+        for (c1, s1, e1, c2, s2, e2) in rows:
+            for (xc, x, yc, y) in (((c1), (s1, e1), (c2), (s2, e2)),
+                                   ((c2), (s2, e2), (c1), (s1, e1))):
+                if (xc == sd.chrom_a and yc == sd.chrom_b
+                        and ov(x, pa) > frac * (pa[1] - pa[0])
+                        and ov(y, pb) > frac * (pb[1] - pb[0])):
+                    hit = True
+                    break
+            if hit:
+                break
+        rec += hit
+    return rec
+
+
 def write_fasta(path: str, chroms: dict[str, str], width: int = 80) -> None:
     with open(path, "w") as f:
         for name, seq in chroms.items():

@@ -188,6 +188,50 @@ def backtrack_np(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
+def _dp_row(st, qi, tq, twild, lane, lmask, wpad, r, G, match, mis, gapo,
+            qe2, max_sc):
+    """One anti-diagonal of the difference recurrence (module doc) in
+    (SUB, W) vector registers; shared by the direct and tiled kernels.
+
+    st = (u0, v0, x0, y0, qrow0); qi = (SUB, 128) injected codes for this
+    diagonal; r is the GLOBAL diagonal index (boundary injections depend
+    on it).  Returns (new state, direction byte tensor d)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    u0, v0, x0, y0, qrow0 = st
+    W = tq.shape[1]
+    qpad = qi if W == 128 else jnp.concatenate([qi, wpad], axis=1)
+    qrow = jnp.where(lmask, qpad, pltpu.roll(qrow0, G, axis=1))
+    wild = jnp.logical_or(qrow >= 4, twild)
+    sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
+
+    bq = jnp.where(r > 0, gapo, 0)
+    rG = r * G
+    onr = (lane >= rG) & (lane < rG + G)
+    ub = jnp.where(onr, bq, u0)
+    yb = jnp.where(onr, 0, y0)
+    xs = jnp.where(lmask, 0, pltpu.roll(x0, G, axis=1))
+    vs = jnp.where(lmask, bq, pltpu.roll(v0, G, axis=1))
+
+    z = sc + qe2
+    a = xs + vs
+    b = yb + ub
+    d = (a > z).astype(jnp.int32)
+    z = jnp.maximum(z, a)
+    d = jnp.where(b > z, 2, d)
+    z = jnp.maximum(z, b)
+    z = jnp.minimum(z, max_sc)
+    un = z - vs
+    vn = z - ub
+    z2 = z - gapo
+    a2 = a - z2
+    b2 = b - z2
+    xn = jnp.maximum(a2, 0)
+    yn = jnp.maximum(b2, 0)
+    d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+    return (un, vn, xn, yn, qrow), d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape", "chunk",

@@ -58,20 +58,7 @@ t_stats = time.time() - t0
 print(f"stage3 stats  : {t_stats:7.1f}s  ({len(final)} final SDs)")
 
 # recall vs planted
-def overlap(a, b):
-    return max(0, min(a[1], b[1]) - max(a[0], b[0]))
-found = 0
-rows = [l.split("\t") for l in final]
-for sd in planted:
-    pa = (sd.a_start, sd.a_end); pb = (sd.b_start, sd.b_end)
-    ok = False
-    for f in rows:
-        q = (int(f[1]), int(f[2])); r = (int(f[4]), int(f[5]))
-        for (x, y) in [(q, r), (r, q)]:
-            if (f[0] == sd.chrom_a and f[3] == sd.chrom_b
-                    and overlap(x, pa) > 0.8 * (pa[1]-pa[0])
-                    and overlap(y, pb) > 0.8 * (pb[1]-pb[0])):
-                ok = True
-    found += ok
+from sedef_tpu.models.genome_sim import recall_of
+found = recall_of(final, planted)
 print(f"recall: {found}/{len(planted)}  total wall "
       f"{t_search+t_bucket+t_align+t_stats:.1f}s")
