@@ -334,8 +334,22 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         _eprn(f"[search] resumed  {len(seed_lines)} seeds", quiet)
     else:
         t0 = time.time()
+        # per-job completion audit (sedef.sh:145-149: the reference greps
+        # its GNU-parallel logs and aborts unless every job reported)
+        job_rows: list[str] = []
+
+        def _audit(i, j, is_rc, n):
+            job_rows.append(f"{i}\t{j}\t{int(is_rc)}\t{n}\tOK")
+
         seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
-                                  jobs=jobs)
+                                  jobs=jobs, progress=_audit)
+        expected = len(bins) * (len(bins) + 1)
+        with open(os.path.join(out_dir, "seeds.joblog"), "w") as f:
+            f.write("\n".join(job_rows) + ("\n" if job_rows else ""))
+        if len(job_rows) != expected:
+            raise RuntimeError(
+                f"search stage incomplete: {len(job_rows)}/{expected} "
+                "pair jobs reported (see seeds.joblog)")
         _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
               f"(attempts={filt.COUNTERS['total']} "
               f"jaccard-fail={filt.COUNTERS['jaccard']} "
@@ -369,14 +383,18 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
             f.write("\n".join(aligned) + ("\n" if aligned else ""))
         open(_ok("aligned"), "w").close()
 
-    t0 = time.time()
-    final_rows = reporter.stats_rows(aligned, fr, cfg)
-    final_rows = canonical_sort_uniq(final_rows)
-    _eprn(f"[stats]  {time.time() - t0:8.1f}s  "
-          f"{len(final_rows)} final SDs", quiet)
     final_path = os.path.join(out_dir, "final.bed")
-    with open(final_path, "w") as f:
-        f.write(reporter.HEADER + "\n")
-        f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
+    if _done("final", final_path):
+        _eprn("[stats]  resumed", quiet)
+    else:
+        t0 = time.time()
+        final_rows = reporter.stats_rows(aligned, fr, cfg, jobs=jobs)
+        final_rows = canonical_sort_uniq(final_rows)
+        _eprn(f"[stats]  {time.time() - t0:8.1f}s  "
+              f"{len(final_rows)} final SDs", quiet)
+        with open(final_path, "w") as f:
+            f.write(reporter.HEADER + "\n")
+            f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
+        open(_ok("final"), "w").close()
     return {"seeds": seeds_path, "aligned": aligned_path,
             "final": final_path}

@@ -279,9 +279,16 @@ HEADER = ("#chr1\tstart1\tend1\tchr2\tstart2\tend2\tname\tscore\tstrand1\t"
 
 
 def stats_rows(bed_lines: list[str], fr: FastaReference,
-               cfg: Config = DEFAULT) -> list[str]:
-    """stats generate driver (stats_main.cc:338-393), minus the OpenMP
-    fan-out (callers may chunk and parallelize)."""
+               cfg: Config = DEFAULT, jobs: int = 1) -> list[str]:
+    """stats generate driver (stats_main.cc:338-393).
+
+    ``jobs > 1`` fans the per-hit processing over a thread pool — the
+    equivalent of the reference's ``#pragma omp parallel for``
+    (stats_main.cc:386-391); the heavy per-base tallies are vectorized
+    NumPy, which releases the GIL.  Output order is deterministic (chunks
+    are concatenated in sorted-hit order, matching the serial path; the
+    reference emits under ``omp critical`` in arbitrary order and relies
+    on the final sort|uniq — ours needs it only for parity with that)."""
     hits: list[tuple[Hit, str]] = []
     for line in bed_lines:
         if not line.strip() or line.startswith("#"):
@@ -297,6 +304,15 @@ def stats_rows(bed_lines: list[str], fr: FastaReference,
     hits.sort(key=lambda hc: (hc[0].ref.is_rc, hc[0].query.name,
                               hc[0].ref.name, hc[0].query_start,
                               hc[0].ref_start))
+    if jobs > 1 and len(hits) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(hc):
+            return process(hc[0], hc[1], fr, cfg)
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            parts = list(ex.map(one, hits, chunksize=16))
+        return [row for part in parts for row in part]
     rows: list[str] = []
     for h, cigar in hits:
         rows.extend(process(h, cigar, fr, cfg))

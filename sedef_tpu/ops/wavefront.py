@@ -331,43 +331,15 @@ def wavefront_pallas_batch(qcodes, tgt, S_q: int, S_t: int, match: int = 5,
         wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
 
         def row(r, rr, st):
-            u0, v0, x0, y0, qrow0 = st
             # injected codes for this diagonal: one VMEM sublane-block
             # load instead of SUB*G SMEM scalar loads + vector build
             qi = qinj_ref[0, 0, rr].astype(jnp.int32)      # (SUB, 128)
-            qpad = qi if W == 128 else jnp.concatenate([qi, wpad], axis=1)
-            qrow = jnp.where(lmask, qpad, pltpu.roll(qrow0, G, axis=1))
-            wild = jnp.logical_or(qrow >= 4, twild)
-            sc = jnp.where(wild, 0, jnp.where(qrow == tq, match, mis))
-
-            bq = jnp.where(r > 0, gapo, 0)
-            rG = r * G
-            onr = (lane >= rG) & (lane < rG + G)
-            ub = jnp.where(onr, bq, u0)
-            yb = jnp.where(onr, 0, y0)
-            xs = jnp.where(lmask, 0, pltpu.roll(x0, G, axis=1))
-            vs = jnp.where(lmask, bq, pltpu.roll(v0, G, axis=1))
-
-            z = sc + qe2
-            a = xs + vs
-            b = yb + ub
-            d = (a > z).astype(jnp.int32)
-            z = jnp.maximum(z, a)
-            d = jnp.where(b > z, 2, d)
-            z = jnp.maximum(z, b)
-            z = jnp.minimum(z, max_sc)
-            un = z - vs
-            vn = z - ub
-            z2 = z - gapo
-            a2 = a - z2
-            b2 = b - z2
-            xn = jnp.maximum(a2, 0)
-            yn = jnp.maximum(b2, 0)
-            d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+            st2, d = _dp_row(st, qi, tq, twild, lane, lmask, wpad, r, G,
+                             match, mis, gapo, qe2, max_sc)
             # dynamic index on dim -3 is unconstrained; last two dims are
             # the full (8, S_t) tile
             out_ref[0, rr, :, :] = d.astype(jnp.uint8)
-            return (un, vn, xn, yn, qrow)
+            return st2
 
         def body(i, st):
             for k in range(unroll):
@@ -596,6 +568,348 @@ def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
             | (o[:, 3::4] << 6))
 
 
+# ---------------------------------------------------------------------------
+# Tiled fill + traceback for the giant (60 Kbp chunk) regime
+# ---------------------------------------------------------------------------
+#
+# A 60 Kbp x 60 Kbp chunk's direction matrix is ~7.5 GB per sublane group —
+# it can never be materialized.  ksw2 bounds memory with banded per-diagonal
+# storage (extern/ksw2_extz2_sse.cc:91-115); on TPU the equivalent is
+# checkpoint/recompute: a forward pass stores only the DP carry state
+# (u, v, x, y, qrow — five (SUB, W) vectors) every TILE diagonals, then the
+# traceback walks tiles in reverse, re-filling one tile's direction rows at
+# a time from its checkpoint (peak memory = one tile, compute = 2x fill).
+# The recurrence, tie-breaking and walker state machine are the exact same
+# code as the direct path (_dp_row / the ksw2.h:117-151 state machine), so
+# CIGARs are bit-identical to it.
+
+
+def _tiled_geometry(S_q: int, S_t: int, SUB: int, TILE: int):
+    n_diag = S_q + S_t - 1
+    n_tiles = (n_diag + TILE - 1) // TILE
+    chunk = _chunk_for(S_q, S_t, width=S_t, sub=SUB)
+    chunk = min(chunk, TILE)
+    while TILE % chunk:
+        chunk -= 8
+    return n_diag, n_tiles, chunk
+
+
+def _ckpt_pass(qinj, tgtp, S_q: int, S_t: int, match, mis, gapo, gape,
+               SUB: int, TILE: int, interpret: bool):
+    """Forward fill storing only per-tile entry states (no p output).
+
+    qinj: (Bp, n_tiles, TILE, SUB, 128) int8; tgtp: (Bp*SUB, S_t) int8.
+    Returns ckpt (Bp, n_tiles, 5, SUB, S_t) int32: DP carry state entering
+    each tile (u, v, x, y, qrow)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S_t
+    Bp = qinj.shape[0]
+    n_tiles = qinj.shape[1]
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+    unroll = 32 if TILE % 32 == 0 else (16 if TILE % 16 == 0 else 8)
+
+    def kernel(qinj_ref, tgt_ref, ck_ref, u_ref, v_ref, x_ref, y_ref,
+               qrow_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+            x_ref[:] = jnp.zeros_like(x_ref)
+            y_ref[:] = jnp.zeros_like(y_ref)
+            qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
+
+        # checkpoint = state entering this tile
+        ck_ref[0, 0, 0] = u_ref[:]
+        ck_ref[0, 0, 1] = v_ref[:]
+        ck_ref[0, 0, 2] = x_ref[:]
+        ck_ref[0, 0, 3] = y_ref[:]
+        ck_ref[0, 0, 4] = qrow_ref[:]
+
+        tq = tgt_ref[:].astype(jnp.int32)
+        twild = tq >= 4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        lmask = lane < 1
+        wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
+
+        def body(i, st):
+            for k in range(unroll):
+                rr = i * unroll + k
+                qi = qinj_ref[0, 0, rr].astype(jnp.int32)
+                st, _ = _dp_row(st, qi, tq, twild, lane, lmask, wpad,
+                                t * TILE + rr, 1, match, mis, gapo, qe2,
+                                max_sc)
+            return st
+
+        st0 = (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:])
+        st = jax.lax.fori_loop(0, TILE // unroll, body, st0)
+        u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:] = st
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE, SUB, 128), lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, W), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 5, SUB, W),
+                               lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_tiles, 5, SUB, W), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SUB, W), jnp.int32)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(qinj, tgtp)
+
+
+def _refill_tile(qinj_t, tgtp, ck_t, r0, S_q: int, S_t: int, match, mis,
+                 gapo, gape, SUB: int, TILE: int, chunk: int,
+                 interpret: bool):
+    """Re-fill one tile's direction rows from its checkpoint state.
+
+    qinj_t: (Bp, TILE, SUB, 128) int8; ck_t: (Bp, 5, SUB, S_t) int32;
+    r0: (1, 1) int32 — global diagonal index of the tile's first row.
+    Returns p_tile (Bp, TILE, SUB, S_t) uint8."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S_t
+    Bp = qinj_t.shape[0]
+    n_chunks = TILE // chunk
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+    unroll = 32 if chunk % 32 == 0 else (16 if chunk % 16 == 0 else 8)
+    qinj_c = qinj_t.reshape(Bp, n_chunks, chunk, SUB, 128)
+
+    def kernel(r0_ref, qinj_ref, tgt_ref, ck_ref, out_ref,
+               u_ref, v_ref, x_ref, y_ref, qrow_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            u_ref[:] = ck_ref[0, 0]
+            v_ref[:] = ck_ref[0, 1]
+            x_ref[:] = ck_ref[0, 2]
+            y_ref[:] = ck_ref[0, 3]
+            qrow_ref[:] = ck_ref[0, 4]
+
+        tq = tgt_ref[:].astype(jnp.int32)
+        twild = tq >= 4
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        lmask = lane < 1
+        wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
+        r_base = r0_ref[0, 0] + c * chunk
+
+        def body(i, st):
+            for k in range(unroll):
+                rr = i * unroll + k
+                qi = qinj_ref[0, 0, rr].astype(jnp.int32)
+                st, d = _dp_row(st, qi, tq, twild, lane, lmask, wpad,
+                                r_base + rr, 1, match, mis, gapo, qe2,
+                                max_sc)
+                out_ref[0, rr, :, :] = d.astype(jnp.uint8)
+            return st
+
+        st0 = (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:])
+        st = jax.lax.fori_loop(0, chunk // unroll, body, st0)
+        u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:] = st
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk, SUB, 128),
+                         lambda b, c: (b, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, W), lambda b, c: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUB, W), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, SUB, W),
+                               lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, TILE, SUB, W), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((SUB, W), jnp.int32)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0, qinj_c, tgtp, ck_t)
+
+
+def _backtrack_tile(p_tile, qlw, tlw, wstate, r0, S_q: int, S_t: int,
+                    chunk: int, interpret: bool):
+    """Walk one tile's rows in reverse, resuming from ``wstate``.
+
+    p_tile: (Bp, TILE, SUB, S_t) uint8; qlw/tlw: (Bp, SUB, 128) int32;
+    wstate: (Bp, 4, SUB, 128) int32 walker rows [i, j, state, unused];
+    r0: (1, 1) int32 global index of the tile's first row.
+    Returns (ops (Bp, n_chunks, SUB, chunk) uint8, new wstate)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S_t
+    Bp, TILE, SUB, _ = p_tile.shape
+    n_chunks = TILE // chunk
+
+    def kernel(r0_ref, p_ref, ql_ref, tl_ref, ws_ref, out_ref, wo_ref,
+               st_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            st_ref[:] = ws_ref[0]
+
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (SUB, S_t), 1)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (SUB, chunk), 1)
+        qlv = ql_ref[0]
+        tlv = tl_ref[0]
+        rr0 = r0_ref[0, 0] + (n_chunks - 1 - c) * chunk
+
+        def body(k, st):
+            i, j, state, acc = st
+            rr = chunk - 1 - k
+            r = rr0 + rr
+            prow = p_ref[0, rr, :, :].astype(jnp.int32)
+            tmp = jnp.sum(jnp.where(lane_t == i[:, :1], prow, 0),
+                          axis=1, keepdims=True)
+            tmp = jnp.broadcast_to(tmp, i.shape).astype(jnp.int32)
+            rv = jnp.broadcast_to(r, i.shape)
+            st0 = jnp.maximum(0, rv - qlv + 1)
+            en0 = jnp.minimum(rv, tlv - 1)
+            force = jnp.where(i < st0, 2, jnp.where(i > en0, 1, -1))
+            forced = force >= 0
+            tmp = jnp.where(forced, 0, tmp)
+            bit = ((tmp >> (state + 2)) & 1) > 0
+            s1 = jnp.where((state != 0) & bit, state, tmp & 7)
+            s1 = jnp.where(forced, force, s1)
+            op = jnp.where(s1 == 0, 0, jnp.where(s1 == 2, 2, 1))
+            cons = (i >= 0) & (j >= 0) & (rv == i + j)
+            di = jnp.where(op != 2, 1, 0)
+            dj = jnp.where((op == 0) | (op == 2), 1, 0)
+            i = jnp.where(cons, i - di, i)
+            j = jnp.where(cons, j - dj, j)
+            state = jnp.where(cons, s1, state)
+            opb = jnp.where(cons[:, :1], op[:, :1], 255)
+            acc = jnp.where(lane_c == rr, opb, acc)
+            return (i, j, state, acc)
+
+        st0 = (st_ref[0], st_ref[1], st_ref[2],
+               jnp.full((SUB, chunk), 255, jnp.int32))
+        i, j, state, acc = jax.lax.fori_loop(0, chunk, body, st0)
+        st_ref[0], st_ref[1], st_ref[2] = i, j, state
+        out_ref[0, 0] = acc.astype(jnp.uint8)
+
+        @pl.when(c == n_chunks - 1)
+        def _emit():
+            wo_ref[0] = st_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, SUB, W),
+                         lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUB, 128), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, SUB, chunk),
+                         lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUB, 128), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n_chunks, SUB, chunk), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp, 4, SUB, 128), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, SUB, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0, p_tile, qlw, tlw, wstate)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S_q", "S_t", "match", "mis", "gapo", "gape", "SUB",
+                     "TILE", "interpret"))
+def wavefront_cigar_tiled(qseq, tgt, ql, tl, S_q: int, S_t: int,
+                          match: int = 5, mis: int = -4, gapo: int = 40,
+                          gape: int = 1, SUB: int = 8, TILE: int = 4096,
+                          interpret: bool = False):
+    """Fill + traceback with checkpoint/recompute: peak HBM is one tile's
+    direction rows (Bp x TILE x SUB x S_t) instead of the full matrix —
+    the device path for the reference's 60 Kbp chunk regime
+    (align.cc:46-66).  Compute cost is 2x the fill (forward checkpoint
+    pass + per-tile re-fill during the reverse walk); CIGAR ops are
+    bit-identical to the direct kernel.
+
+    qseq: (B, S_q) int8; tgt: (B, S_t) int8; ql/tl: (B,) int32.
+    Returns ops (B, n_tiles*TILE) uint8 (255 = row not consumed)."""
+    B = tgt.shape[0]
+    assert B % SUB == 0
+    Bp = B // SUB
+    n_diag, n_tiles, chunk = _tiled_geometry(S_q, S_t, SUB, TILE)
+    n_rows = n_tiles * TILE
+
+    qcodes = jnp.concatenate(
+        [qseq.astype(jnp.int8),
+         jnp.full((B, n_rows - S_q), WILDCARD, jnp.int8)], axis=1)
+    qv = qcodes.reshape(Bp, SUB, 1, n_rows).transpose(0, 3, 1, 2)
+    qinj = jnp.concatenate(
+        [qv, jnp.full((Bp, n_rows, SUB, 127), WILDCARD, jnp.int8)],
+        axis=3).reshape(Bp, n_tiles, TILE, SUB, 128)
+    tgtp = tgt
+
+    ckpt = _ckpt_pass(qinj, tgtp, S_q, S_t, match, mis, gapo, gape,
+                      SUB, TILE, interpret)
+
+    qlw = jnp.broadcast_to(ql.reshape(Bp, SUB, 1), (Bp, SUB, 128))
+    tlw = jnp.broadcast_to(tl.reshape(Bp, SUB, 1), (Bp, SUB, 128))
+    ws0 = jnp.stack([tlw - 1, qlw - 1, jnp.zeros_like(qlw),
+                     jnp.zeros_like(qlw)], axis=1)   # (Bp, 4, SUB, 128)
+
+    def tile_step(wstate, trev):
+        t = n_tiles - 1 - trev
+        qinj_t = jax.lax.dynamic_slice(
+            qinj, (0, t, 0, 0, 0), (Bp, 1, TILE, SUB, 128))[:, 0]
+        ck_t = jax.lax.dynamic_slice(
+            ckpt, (0, t, 0, 0, 0), (Bp, 1, 5, SUB, S_t))[:, 0]
+        r0 = (t * TILE).reshape(1, 1).astype(jnp.int32)
+        p_tile = _refill_tile(qinj_t, tgtp, ck_t, r0, S_q, S_t, match,
+                              mis, gapo, gape, SUB, TILE, chunk, interpret)
+        ops_t, wstate = _backtrack_tile(p_tile, qlw, tlw, wstate, r0,
+                                        S_q, S_t, chunk, interpret)
+        return wstate, ops_t
+
+    _, ops_tiles = jax.lax.scan(tile_step, ws0,
+                                jnp.arange(n_tiles, dtype=jnp.int32))
+    # ops_tiles: (n_tiles_rev, Bp, n_chunks, SUB, chunk) in reverse tile
+    # order -> (B, n_rows)
+    ops = ops_tiles[::-1].transpose(1, 3, 0, 2, 4).reshape(B, n_rows)
+    return ops
+
+
 def cigar_from_packed_ops(packed_row: np.ndarray, qlen: int, tlen: int
                           ) -> list[tuple[str, int]]:
     """Decode one problem's 2-bit op stream into a CIGAR."""
@@ -808,6 +1122,15 @@ class WavefrontAligner:
     # tunneled (axon) device at ~500 ms round trips; a directly attached
     # chip breaks even around 8-16.
     DEVICE_BATCH_MIN = 256
+    # problems above this many cells route to the tiled checkpoint/
+    # recompute device path (wavefront_cigar_tiled) when a TPU is present:
+    # 2x-fill on the kernel beats the 0.49-GCUPS native scalar DP well
+    # before 1 G cells, and the direct kernel's dense direction matrix
+    # cannot be materialized in that regime anyway.
+    GIANT_CELLS = 1 << 30
+    # size-class bound of the direct device path: beyond this target
+    # class the dense (B, n_rows, S_t) direction matrix exceeds HBM
+    GIANT_S_T = 8192
 
     def align_batch(self, pairs: list[tuple[np.ndarray, np.ndarray]]
                     ) -> list[list[tuple[str, int]]]:
@@ -830,11 +1153,14 @@ class WavefrontAligner:
             # stragglers go to the native scalar DP
             device_idx = []
             native_idx = []
+            giant_ok = self.use_tpu and (
+                self.interpret or jax.default_backend() != "cpu")
             for idx, (qc, tc) in enumerate(pairs):
                 cells = (len(qc) + len(tc)) * max(len(tc), 1)
                 if len(qc) == 0 or len(tc) == 0:
                     results[idx] = _degenerate_cigar(len(qc), len(tc))
-                elif cells > self.NATIVE_MAX_CELLS:
+                elif cells > (self.GIANT_CELLS if giant_ok
+                              else self.NATIVE_MAX_CELLS):
                     device_idx.append(idx)
                 else:
                     native_idx.append(idx)
@@ -886,6 +1212,15 @@ class WavefrontAligner:
             groups.setdefault(key, []).append(idx)
 
         for (S_q, S_t), idxs in groups.items():
+            # giant classes: the direct kernel's dense direction matrix
+            # (n_rows x S_t x SUB bytes per sublane group) would not fit;
+            # route to the tiled checkpoint/recompute path
+            dense_p = (S_q + S_t) * S_t * 8
+            if ((S_t > self.GIANT_S_T or dense_p > (1 << 30))
+                    and (self.interpret
+                         or jax.default_backend() != "cpu")):
+                self._align_giant(pairs, idxs, S_q, S_t, results)
+                continue
             # batch padded to a power of two (>= SUB*G for the sublane +
             # lane packing) so each (B, S_q, S_t) shape compiles once per
             # session
@@ -930,28 +1265,55 @@ class WavefrontAligner:
                                                      len(tc))
         return results
 
+    def _align_giant(self, pairs, idxs, S_q: int, S_t: int, results):
+        """Tiled checkpoint/recompute path for one giant size class."""
+        SUB = 8
+        B = ((len(idxs) + SUB - 1) // SUB) * SUB
+        qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
+        tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
+        ql = np.ones(B, np.int32)
+        tl = np.ones(B, np.int32)
+        for bi, idx in enumerate(idxs):
+            qc, tc = pairs[idx]
+            qseq[bi, :len(qc)] = qc
+            tgts[bi, :len(tc)] = tc
+            ql[bi] = len(qc)
+            tl[bi] = len(tc)
+        TILE = 4096 if S_q + S_t - 1 >= 4096 else 1024
+        ops = np.asarray(wavefront_cigar_tiled(
+            jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
+            jnp.asarray(tl), S_q, S_t, self.match, self.mis, self.gapo,
+            self.gape, SUB=SUB, TILE=TILE, interpret=self.interpret))
+        for bi, idx in enumerate(idxs):
+            qc, tc = pairs[idx]
+            results[idx] = cigar_from_ops(ops[bi], len(qc), len(tc),
+                                          skip=255)
+
     def align_strings(self, a: str, b: str) -> list[tuple[str, int]]:
         """Chunked global alignment of raw strings, reproducing the
-        reference's 60 Kbp diagonal chunking (``align.cc:46-66``)."""
+        reference's 60 Kbp diagonal chunking (``align.cc:46-66``).
+
+        The chunks are independent (the reference simply concatenates
+        their CIGARs), so they are aligned as ONE batch — a megaregion's
+        ~34 60 Kbp chunks fill the tiled device kernel's sublanes instead
+        of running serially."""
         max_len = self.cfg.align.max_ksw_seq_len
         qc_full = encode_align(a)
         tc_full = encode_align(b)
-        cigar: list[tuple[str, int]] = []
-        sp = 0
         min_len = min(len(a), len(b))
         # NOTE: like the reference (align.cc:46-47), when min_len == 0 the
         # loop body never runs and the CIGAR is empty; tails of the longer
         # sequence past the final chunk are likewise not consumed.
-        while sp < min_len:
-            qc = qc_full[sp:sp + max_len]
-            tc = tc_full[sp:sp + max_len]
-            part = self.align_codes(qc, tc)
+        chunks = [(qc_full[sp:sp + max_len], tc_full[sp:sp + max_len])
+                  for sp in range(0, min_len, max_len)]
+        parts = self.align_batch(chunks) if chunks else []
+        cigar: list[tuple[str, int]] = []
+        for part in parts:
             for op, ln in part:
                 if cigar and cigar[-1][0] == op:
                     cigar[-1] = (op, cigar[-1][1] + ln)
                 else:
                     cigar.append((op, ln))
-            sp += max_len
         return cigar
 
 

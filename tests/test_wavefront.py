@@ -156,3 +156,41 @@ def test_device_traceback_interpret():
             p_ref, _ = wavefront_np(q, t)
             assert got == backtrack_np(p_ref, len(q), len(t)), (S_q, S_t,
                                                                 G, SUB, i)
+
+
+def test_tiled_matches_numpy_interpret():
+    """Tiled checkpoint/recompute fill+traceback (wavefront_cigar_tiled)
+    vs the NumPy oracle, interpret mode (covers the giant 60 Kbp chunk
+    routing at miniature scale: TILE < n_diag forces multiple tiles)."""
+    import jax.numpy as jnp
+
+    from sedef_tpu.ops.wavefront import (backtrack_np, cigar_from_ops,
+                                         wavefront_cigar_tiled, wavefront_np)
+    rng = np.random.default_rng(5)
+    S, B = 256, 8
+    qs = np.full((B, S), 4, np.int8)
+    ts = np.full((B, S), 4, np.int8)
+    qls = np.zeros(B, np.int32)
+    tls = np.zeros(B, np.int32)
+    pairs = []
+    for b in range(B):
+        ql = int(rng.integers(150, S + 1))
+        tl = int(rng.integers(150, S + 1))
+        L = max(ql, tl)
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.12
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        q, t = q[:ql], t[:tl]
+        pairs.append((q, t))
+        qs[b, :ql] = q
+        ts[b, :tl] = t
+        qls[b] = ql
+        tls[b] = tl
+    ops = np.asarray(wavefront_cigar_tiled(
+        jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qls),
+        jnp.asarray(tls), S, S, TILE=128, interpret=True))
+    for b, (q, t) in enumerate(pairs):
+        got = cigar_from_ops(ops[b], len(q), len(t), skip=255)
+        p, _ = wavefront_np(q, t)
+        assert got == backtrack_np(p, len(q), len(t)), b
