@@ -509,8 +509,13 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                     and _native.has("search_plan")):
                 plan = _native.search_plan(query_hash, ref_hash,
                                            is_same_genome, cfg)
-                if (len(plan[1])
-                        and int(plan[1][:, 4].sum()) >= ROLL_DEVICE_MIN):
+                # gate on DEVICE-ELIGIBLE roll steps only: intervals beyond
+                # the kernel ladder are host-rolled regardless, so they
+                # must not trigger a pointless dispatch
+                from ..ops.roll_engine import T_PAD_LADDER
+                steps = plan[1][:, 4]
+                eligible = int(steps[steps <= T_PAD_LADDER[-1]].sum())
+                if len(plan[1]) and eligible >= ROLL_DEVICE_MIN:
                     results = _device_roll_results(query_hash, ref_hash,
                                                    plan, cfg)
                 else:

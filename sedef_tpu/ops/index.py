@@ -88,9 +88,10 @@ class MinimizerIndex:
         if dev is None:
             import jax
 
-            from .winnow_device import _pad_size
             n = len(self.keys)
-            pad = _pad_size(max(n, 1)) - n
+            # pure power-of-two padding: the roll kernel recompiles per
+            # distinct (nq, nr) array-shape pair, so keep the ladder coarse
+            pad = max(1 << max(n - 1, 1).bit_length(), 1 << 14) - n
             keys = self.keys.astype(np.int32)
             locs = self.locs.astype(np.int32)
             if pad:

@@ -40,11 +40,15 @@ import numpy as np
 INF32 = np.int32(2**31 - 1)
 
 # size classes: (T_PAD ladder) x fixed INIT_PAD / SQ / W keeps the jit
-# cache small; intervals beyond the largest class use the host roll
+# cache small; intervals beyond the largest class use the host roll.
+# The ladder is deliberately coarse: every (T_PAD, input-shape) pair is a
+# distinct XLA compile (~100 s through this environment's remote compile
+# service), and padded steps are masked vector ops — wasting some VPU time
+# is far cheaper than another compile variant.
 DEFAULT_W = 512
 DEFAULT_SQ = 160
 DEFAULT_INIT_PAD = 192
-T_PAD_LADDER = (128, 256, 512, 1024, 2048, 4096)
+T_PAD_LADDER = (512, 4096)
 DEFAULT_BATCH = 1024
 
 

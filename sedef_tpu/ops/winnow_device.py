@@ -81,12 +81,18 @@ def _windowed_or(bits, k: int, nk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
-def _device_index(code, cls, nk_valid, k: int, w: int, cap: int):
+def _device_index(code, cls, nk_valid, k: int, w: int, cap: int,
+                  drop=np.int32(0)):
     """code, cls: (pad_n,) uint8.  Returns (count, locs, keys) — int32,
     minimizer arrays nk/INF-padded past ``count``.  The posting sort is
     done host-side on the (much smaller) downloaded slice: this tunnel's
     device->host path is ~50x slower than host->device, so the op returns
-    the minimum bytes."""
+    the minimum bytes.
+
+    ``drop`` > 0 marks a continuation segment: the first ``drop`` kmer
+    positions are left context for the sliding minimum only (their change
+    points were emitted by the previous segment) and the sequence-start
+    emission rule does not apply."""
     pad_n = code.shape[0]
     nk = pad_n - k + 1
 
@@ -111,9 +117,10 @@ def _device_index(code, cls, nk_valid, k: int, w: int, cap: int):
     cmask = (keys <= W) & (idx < nk_valid)
 
     # emission starts at the front active at p == w (hash.cc:93-97): keep
-    # the LAST change point <= w plus everything after it.
+    # the LAST change point <= w plus everything after it.  Continuation
+    # segments (drop > 0) instead suppress their left-context kmers.
     prefix_last = jnp.max(jnp.where(cmask & (idx <= w), idx, -1))
-    emit = cmask & (idx >= prefix_last)
+    emit = cmask & (idx >= jnp.where(drop > 0, drop, prefix_last))
 
     count = emit.sum().astype(jnp.int32)
     locs = jnp.nonzero(emit, size=cap, fill_value=nk)[0].astype(jnp.int32)
@@ -125,6 +132,44 @@ def _device_index(code, cls, nk_valid, k: int, w: int, cap: int):
 @functools.partial(jax.jit, static_argnames=("m",))
 def _slice2(a, b, m: int):
     return a[:m], b[:m]
+
+
+# fixed device segment: winnowing is position-local (a change point
+# depends only on the preceding w keys), so any chromosome is processed
+# as fixed-shape segments with w + k - 1 codes of left overlap — the
+# kernel compiles for exactly TWO shapes (_MIN_PAD for tiny inputs, _SEG
+# for everything else) no matter the genome.
+_SEG = 1 << 22
+
+
+def _run_segments(code: np.ndarray, cls: np.ndarray, k: int, w: int):
+    """Yields ((lo, count, dlocs, dkeys), cap) per segment.  All segments
+    are dispatched before any result is consumed (async pipelining)."""
+    n = code.shape[0]
+    pad_n = _MIN_PAD if n <= _MIN_PAD else _SEG
+    cap = (pad_n - k + 1) // 6
+    nk_seg = pad_n - k + 1
+    pending = []
+    p0 = 0  # first kmer position this segment emits
+    while p0 < n - k + 1:
+        lo = max(0, p0 - w)  # w kmers of left context for the window min
+        seg_code = code[lo:lo + pad_n]
+        seg_cls = cls[lo:lo + pad_n]
+        if seg_code.shape[0] < pad_n:
+            fill = pad_n - seg_code.shape[0]
+            seg_code = np.concatenate(
+                [seg_code, np.zeros(fill, dtype=np.uint8)])
+            seg_cls = np.concatenate(
+                [seg_cls, np.full(fill, 2, dtype=np.uint8)])
+        nk_valid = min(nk_seg, n - lo - k + 1)
+        drop = p0 - lo  # overlap kmers to suppress (0 for the first)
+        count, dlocs, dkeys = _device_index(
+            seg_code, seg_cls, np.int32(nk_valid), k, w, cap,
+            np.int32(drop))
+        pending.append((lo, count, dlocs, dkeys))
+        p0 = lo + nk_seg  # next segment emits from the first unseen kmer
+    for item in pending:
+        yield item, cap
 
 
 def device_index_arrays(code: np.ndarray, cls: np.ndarray, k: int, w: int):
@@ -140,24 +185,21 @@ def device_index_arrays(code: np.ndarray, cls: np.ndarray, k: int, w: int):
     n = code.shape[0]
     if n - k + 1 <= w:
         return None
-    pad_n = _pad_size(n)
-    cap = (pad_n - k + 1) // 6
-    if pad_n > n:
-        code = np.concatenate(
-            [code, np.zeros(pad_n - n, dtype=np.uint8)])
-        cls = np.concatenate(
-            [cls, np.full(pad_n - n, 2, dtype=np.uint8)])
-    nk_valid = n - k + 1
-    count, dlocs, dkeys = _device_index(
-        code, cls, np.int32(nk_valid), k, w, cap)
-    count = int(count)
-    if count > cap:  # pragma: no cover - genome-dependent
-        return None
-    # download only a count-rounded slice (device->host is the slow path)
-    m = min(cap, _pad_size(max(count, 1)))
-    dlocs, dkeys = _slice2(dlocs, dkeys, m)
-    locs = np.asarray(dlocs)[:count].astype(np.int32)
-    keys = np.asarray(dkeys)[:count].astype(np.int64)
+    all_keys = []
+    all_locs = []
+    for (lo, count, dlocs, dkeys), cap in _run_segments(code, cls, k, w):
+        count = int(count)
+        if count > cap:  # pragma: no cover - genome-dependent
+            return None
+        # pow2-only slice sizes: each distinct m is a (tiny) compile
+        m = min(cap, max(1 << max(count - 1, 1).bit_length(), 1 << 12))
+        dlocs, dkeys = _slice2(dlocs, dkeys, m)
+        locs = np.asarray(dlocs)[:count].astype(np.int64)
+        keys = np.asarray(dkeys)[:count].astype(np.int64)
+        all_locs.append(locs + lo)
+        all_keys.append(keys)
+    keys = np.concatenate(all_keys)
+    locs = np.concatenate(all_locs).astype(np.int32)
     order = np.argsort(keys, kind="stable")
     return keys, locs, keys[order], locs[order]
 

@@ -126,3 +126,25 @@ def test_device_index_fixture_oracle(fixtures_dir):
     assert r is not None
     keys, locs, _, _ = r
     assert list(zip(keys.tolist(), locs.tolist())) == expect
+
+
+def test_device_index_multi_segment(monkeypatch):
+    """Fixed-shape segment processing (one compile per genome) stitches to
+    exactly the host result across segment boundaries."""
+    from sedef_tpu.ops import winnow_device
+    monkeypatch.setattr(winnow_device, "_SEG", 1 << 15)
+    rng = np.random.default_rng(21)
+    chars = np.array(list("ACGTacgtNn"))
+    probs = np.array([.14, .14, .14, .14, .09, .09, .09, .09, .04, .04])
+    seq = "".join(rng.choice(chars, size=150_000, p=probs))
+    code, cls = dna.encode(seq)
+    k, w = 12, 16
+    ekeys, elocs = minimizers_np(code, cls, k, w)
+    order = np.argsort(ekeys, kind="stable")
+    r = winnow_device.device_index_arrays(code, cls, k, w)
+    assert r is not None
+    keys, locs, skeys, slocs = r
+    assert np.array_equal(keys, ekeys)
+    assert np.array_equal(locs, elocs)
+    assert np.array_equal(skeys, ekeys[order])
+    assert np.array_equal(slocs, elocs[order])
