@@ -87,9 +87,18 @@ def _batch_gap_cigars(qstr: str, rstr: str,
 
 
 def default_aligner() -> WavefrontAligner:
+    """Single-device Pallas aligner, or — with more than one local TPU —
+    the mesh-sharded MeshAligner (shard_map over the batch axis), so the
+    align stage scales with the local device count automatically."""
     global _default_aligner
     if _default_aligner is None:
-        _default_aligner = WavefrontAligner()
+        import jax
+        if (jax.default_backend() not in ("cpu",)
+                and len(jax.local_devices()) > 1):  # pragma: no cover
+            from ..parallel.mesh import MeshAligner
+            _default_aligner = MeshAligner()
+        else:
+            _default_aligner = WavefrontAligner()
     return _default_aligner
 
 

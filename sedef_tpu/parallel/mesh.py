@@ -117,6 +117,142 @@ def build_multichip_step(mesh: Mesh, S_q: int, S_t: int,
     return jax.jit(step)
 
 
+class MeshAligner:
+    """Align-stage aligner that shards each device batch across ALL local
+    devices of a 1-D ("data") mesh under ``shard_map`` — the production
+    multi-chip replacement for the reference's per-process fan-out
+    (sedef.sh:187-190): problems are independent, so the batch axis shards
+    with no collectives and wall time scales with the device count.
+
+    On TPU meshes the per-shard fill+traceback is the Pallas path
+    (wavefront_cigar_device); on CPU meshes (tests, dryrun) the per-shard
+    fill is the scan variant with host traceback.  Results are identical
+    to the single-device WavefrontAligner: batch composition does not
+    affect per-problem DP results.
+    """
+
+    def __init__(self, mesh: Mesh | None = None, cfg=None,
+                 use_tpu: bool | None = None):
+        from ..config import DEFAULT
+        from ..ops.wavefront import WavefrontAligner
+        if mesh is None:
+            devs = jax.devices()
+            mesh = jax.make_mesh((len(devs),), ("data",), devices=devs)
+        self.mesh = mesh
+        self.base = WavefrontAligner(cfg or DEFAULT, use_tpu=use_tpu)
+        self.cfg = self.base.cfg
+        self.ndev = int(np.prod(mesh.devices.shape))
+
+    def align_strings(self, a: str, b: str):
+        max_len = self.cfg.align.max_ksw_seq_len
+        from ..ops.dna import encode_align
+        qc_full = encode_align(a)
+        tc_full = encode_align(b)
+        min_len = min(len(a), len(b))
+        chunks = [(qc_full[sp:sp + max_len], tc_full[sp:sp + max_len])
+                  for sp in range(0, min_len, max_len)]
+        parts = self.align_batch(chunks) if chunks else []
+        cigar = []
+        for part in parts:
+            for op, ln in part:
+                if cigar and cigar[-1][0] == op:
+                    cigar[-1] = (op, cigar[-1][1] + ln)
+                else:
+                    cigar.append((op, ln))
+        return cigar
+
+    def align_codes(self, query, target):
+        return self.align_batch([(query, target)])[0]
+
+    def align_batch(self, pairs):
+        """Size-class groups shard over the mesh; small stragglers and
+        giant tiled problems take the base (single-device) path."""
+        from ..ops.wavefront import (_pad_to_class, backtrack_np,
+                                     cigar_from_ops, wavefront_scan_batch,
+                                     _degenerate_cigar)
+        if self.ndev <= 1:
+            return self.base.align_batch(pairs)
+        results = [None] * len(pairs)
+        groups: dict[tuple[int, int], list[int]] = {}
+        small: list[int] = []
+        for idx, (qc, tc) in enumerate(pairs):
+            if len(qc) == 0 or len(tc) == 0:
+                results[idx] = _degenerate_cigar(len(qc), len(tc))
+                continue
+            S_q = _pad_to_class(len(qc))
+            S_t = _pad_to_class(len(tc))
+            if S_t > self.base.GIANT_S_T or len(pairs) < 2 * self.ndev:
+                small.append(idx)
+                continue
+            groups.setdefault((S_q, S_t), []).append(idx)
+        if small:
+            for idx, cig in zip(small, self.base.align_batch(
+                    [pairs[i] for i in small])):
+                results[idx] = cig
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        on_tpu = jax.default_backend() not in ("cpu",)
+        shard = NamedSharding(self.mesh, P("data"))
+        from ..ops.dna import WILDCARD
+        for (S_q, S_t), idxs in groups.items():
+            if on_tpu:  # pragma: no cover - needs a multi-chip TPU
+                from ..ops.wavefront import (_lane_groups, _sublane_pack,
+                                             cigar_from_packed_ops,
+                                             wavefront_cigar_device)
+                G = _lane_groups(S_t)
+                SUB = _sublane_pack(S_t)
+                unit = self.ndev * SUB * G
+                B = ((len(idxs) + unit - 1) // unit) * unit
+                qseq = np.full((B, S_q), WILDCARD, np.int8)
+                tgts = np.full((B, S_t), WILDCARD, np.int8)
+                ql = np.ones(B, np.int32)
+                tl = np.ones(B, np.int32)
+                for bi, idx in enumerate(idxs):
+                    qc, tc = pairs[idx]
+                    qseq[bi, :len(qc)] = qc
+                    tgts[bi, :len(tc)] = tc
+                    ql[bi] = len(qc)
+                    tl[bi] = len(tc)
+                fn = shard_map(
+                    partial(wavefront_cigar_device, S_q=S_q, S_t=S_t,
+                            match=self.base.match, mis=self.base.mis,
+                            gapo=self.base.gapo, gape=self.base.gape,
+                            G=G, SUB=SUB),
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P("data"), P("data"), P("data")),
+                    out_specs=P("data"), check_rep=False)
+                ops = np.asarray(jax.jit(fn)(
+                    jax.device_put(qseq, shard), jax.device_put(tgts, shard),
+                    jax.device_put(ql, shard), jax.device_put(tl, shard)))
+                for bi, idx in enumerate(idxs):
+                    qc, tc = pairs[idx]
+                    results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
+                                                         len(tc))
+                continue
+            from ..ops.wavefront import _padded_rows
+            B = ((len(idxs) + self.ndev - 1) // self.ndev) * self.ndev
+            n_rows = _padded_rows(S_q, S_t)
+            qcodes = np.full((B, n_rows), WILDCARD, np.int32)
+            tgts = np.full((B, S_t), WILDCARD, np.int8)
+            for bi, idx in enumerate(idxs):
+                qc, tc = pairs[idx]
+                qcodes[bi, :len(qc)] = qc
+                tgts[bi, :len(tc)] = tc
+            fill = shard_map(
+                partial(wavefront_scan_batch, S_q=S_q, S_t=S_t,
+                        match=self.base.match, mis=self.base.mis,
+                        gapo=self.base.gapo, gape=self.base.gape),
+                mesh=self.mesh, in_specs=(P("data"), P("data")),
+                out_specs=P("data"), check_rep=False)
+            p = np.asarray(jax.jit(fill)(
+                jax.device_put(qcodes, shard), jax.device_put(tgts, shard)))
+            for bi, idx in enumerate(idxs):
+                qc, tc = pairs[idx]
+                results[idx] = backtrack_np(p[bi], len(qc), len(tc))
+        return results
+
+
 def example_inputs(mesh: Mesh, S_q: int = 128, S_t: int = 128, B: int = 2,
                    W: int = 128, seed: int = 0):
     """Tiny sharded inputs for one step on the given mesh."""

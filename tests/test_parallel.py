@@ -156,3 +156,29 @@ def test_distributed_two_processes(tmp_path):
 def pathlib_repo_root():
     import pathlib
     return str(pathlib.Path(__file__).resolve().parent.parent)
+
+
+def test_mesh_aligner_matches_single_device():
+    """MeshAligner (align batch sharded over the 8-device mesh under
+    shard_map) produces the exact CIGARs of the single-device aligner."""
+    import jax
+    import numpy as np
+
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    from sedef_tpu.parallel.mesh import MeshAligner
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = jax.make_mesh((8,), ("data",), devices=devs[:8])
+    rng = np.random.default_rng(3)
+    pairs = []
+    for i in range(37):  # odd count: exercises padding
+        L = int(rng.integers(100, 400))
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.1
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        pairs.append((q, t[:int(rng.integers(80, L + 1))]))
+    mesh_al = MeshAligner(mesh, use_tpu=False)
+    single = WavefrontAligner(use_tpu=False)
+    assert mesh_al.align_batch(pairs) == single.align_batch(pairs)
