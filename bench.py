@@ -80,41 +80,68 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from sedef_tpu.ops.wavefront import (_padded_rows, wavefront_device,
+    from sedef_tpu.ops.wavefront import (_pipe_geometry,
+                                         wavefront_pipelined_batch,
                                          wavefront_scan_batch)
 
     on_tpu = jax.default_backend() not in ("cpu",)
     L = 1024
-    SUB = 32 if on_tpu else 8    # sublane packing (production kernel config)
-    B = 256 if on_tpu else 2
-    N = 16 if on_tpu else 2      # chained kernel invocations per round trip
-    reps = 2
     rng = np.random.default_rng(0)
-    n_rows = _padded_rows(L, L, sub=SUB)
-    q = jax.device_put(rng.integers(0, 4, (B, n_rows)).astype(np.int32))
-    t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8))
+    reps = 2
+    if on_tpu:
+        # production fill: the pipelined (streamed) kernel — K problems
+        # per stream staggered by S_q rows so the rotated rectangle's
+        # out-of-triangle half is filled by the next problem's triangle
+        SUB = 32
+        K = 32
+        n_streams = 64            # 1024 problems per invocation
+        N = 4                     # chained invocations per round trip
+        _, _, n_rows_tot, n_i = _pipe_geometry(L, L, K, SUB)
+        qs = jax.device_put(
+            rng.integers(0, 4, (n_streams, n_rows_tot)).astype(np.int8))
+        ti = jax.device_put(
+            rng.integers(0, 4, (n_streams, n_rows_tot, n_i))
+            .astype(np.int8))
 
-    @jax.jit
-    def run_chain(q, t):
-        def body(i, acc):
-            q2 = q.at[:, 0].set((acc % 4).astype(jnp.int32))
-            if on_tpu:
-                p = wavefront_device(q2, t, L, L, SUB=SUB)
-            else:
+        @jax.jit
+        def run_chain(qs, ti):
+            def body(i, acc):
+                q2 = qs.at[:, 0].set((acc % 4).astype(jnp.int8))
+                p = wavefront_pipelined_batch(q2, ti, L, L, K, SUB=SUB)
+                return acc + p.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, N, body, jnp.int32(0))
+
+        args = (qs, ti)
+        cells_per_call = float(n_streams) * K * L * L
+    else:
+        B, N = 2, 2
+        from sedef_tpu.ops.wavefront import _padded_rows
+        n_rows = _padded_rows(L, L)
+        q = jax.device_put(
+            rng.integers(0, 4, (B, n_rows)).astype(np.int32))
+        t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8))
+
+        @jax.jit
+        def run_chain(q, t):
+            def body(i, acc):
+                q2 = q.at[:, 0].set((acc % 4).astype(jnp.int32))
                 p = wavefront_scan_batch(q2, t, L, L)
-            return acc + p.astype(jnp.int32).sum()
-        return jax.lax.fori_loop(0, N, body, jnp.int32(0))
+                return acc + p.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, N, body, jnp.int32(0))
 
-    int(run_chain(q, t))  # warmup / compile
+        args = (q, t)
+        cells_per_call = float(B) * L * L
+
+    int(run_chain(*args))  # warmup / compile
 
     t0 = time.perf_counter()
     acc = 0
     for _ in range(reps):
-        acc += int(run_chain(q, t))
+        acc += int(run_chain(*args))
     dt = time.perf_counter() - t0
     assert acc != 0
 
-    cells = float(B) * L * L * N * reps
+    cells = cells_per_call * N * reps
     gcups = cells / dt / 1e9
     extra = {}
     if on_tpu:

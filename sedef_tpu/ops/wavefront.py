@@ -569,8 +569,230 @@ def wavefront_cigar_device(qseq, tgt, ql, tl, S_q: int, S_t: int,
 
 
 # ---------------------------------------------------------------------------
-# Tiled fill + traceback for the giant (60 Kbp chunk) regime
+# Pipelined (streamed) fill: ~2x effective GCUPS by wavefront tiling
 # ---------------------------------------------------------------------------
+#
+# The rotated formulation computes a (S_q + S_t - 1) x S_t rectangle per
+# problem but only S_q x S_t cells are real — at S_q == S_t half the
+# vector work is out-of-triangle garbage.  Streaming fixes this exactly:
+# problems of one stream run in the SAME lanes staggered by S_q rows.
+# Lane t hands over from problem k to problem k+1 at global row
+# (k+1)*S_q + t — precisely when k's left band edge (st0 = r - S_q + 1)
+# moves past t and k+1's right band edge (en0 = r') reaches it — so
+# consecutive triangles tile the lane plane seamlessly and utilization
+# approaches 100%.  All boundary injections become functions of
+# (row mod S_q):
+#   * query codes still enter at lane 0 (the stream is the concatenation
+#     of each problem's S_q codes; codes with j >= S_q are never read
+#     because the left edge has moved),
+#   * the u/y top-boundary injection fires at every lane ≡ row (mod S_q)
+#     (one per active still-growing problem),
+#   * the per-lane target code switches at the same lanes, fed by a
+#     precomputed injection stream (targets are no longer loop-invariant).
+# Traceback needs no new kernel: problem k's direction rows live at
+# [k*S_q, k*S_q + n_diag) with the usual lane layout, so the existing
+# reverse-sweep backtrack runs on row slices.
+
+
+def _pipe_geometry(S_q: int, S_t: int, K: int, SUB: int):
+    chunk = _chunk_for(S_q, S_t, width=S_t, sub=SUB)
+    n_diag = S_q + S_t - 1
+    n_rows_bt = ((n_diag + chunk - 1) // chunk) * chunk
+    need = (K - 1) * S_q + n_rows_bt
+    n_rows_tot = ((need + chunk - 1) // chunk) * chunk
+    n_i = (S_t + S_q - 1) // S_q  # simultaneous growth fronts
+    return chunk, n_rows_bt, n_rows_tot, n_i
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S_q", "S_t", "K", "match", "mis", "gapo", "gape", "SUB", "interpret"))
+def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
+                              match: int = 5, mis: int = -4, gapo: int = 40,
+                              gape: int = 1, SUB: int = 8,
+                              interpret: bool = False):
+    """Streamed fill: each of B streams solves K problems back-to-back.
+
+    qstream: (B, n_rows_tot) int8 — problem k's query codes (padded to
+             S_q with wildcard) at rows [k*S_q, (k+1)*S_q).
+    tinj:    (B, n_rows_tot, n_i) int8 — front i's incoming target code
+             for each row: tinj[s, r, i] = target_{r//S_q - i}[(r mod S_q)
+             + i*S_q] (wildcard where out of range).
+    Returns p: (B//SUB, n_rows_tot, SUB, S_t) uint8; problem k's rows at
+    [k*S_q, k*S_q + S_q + S_t - 1).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = qstream.shape[0]
+    assert B % SUB == 0
+    Bp = B // SUB
+    W = S_t
+    chunk, n_rows_bt, n_rows_tot, n_i = _pipe_geometry(S_q, S_t, K, SUB)
+    assert qstream.shape[1] == n_rows_tot and tinj.shape[1] == n_rows_tot
+    n_chunks = n_rows_tot // chunk
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+
+    # injection blocks: lane 0 = query code, lanes [1, 1+n_i) = target
+    # codes per growth front (same sublane-block-indexed VMEM trick as the
+    # direct kernel)
+    qv = qstream.reshape(Bp, SUB, n_rows_tot).transpose(0, 2, 1)
+    tv = tinj.reshape(Bp, SUB, n_rows_tot, n_i).transpose(0, 2, 1, 3)
+    inj = jnp.concatenate(
+        [qv[..., None], tv,
+         jnp.full((Bp, n_rows_tot, SUB, 127 - n_i), WILDCARD, jnp.int8)],
+        axis=3).reshape(Bp, n_chunks, chunk, SUB, 128)
+
+    unroll = 32 if chunk % 32 == 0 else (16 if chunk % 16 == 0 else 8)
+
+    def kernel(inj_ref, out_ref, u_ref, v_ref, x_ref, y_ref, qrow_ref,
+               tq_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+            x_ref[:] = jnp.zeros_like(x_ref)
+            y_ref[:] = jnp.zeros_like(y_ref)
+            qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
+            tq_ref[:] = jnp.full_like(tq_ref, WILDCARD)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        lane_mod = jax.lax.rem(lane, S_q)  # loop-invariant
+        lmask = lane < 1
+        # top-boundary gap open: 0 only for each problem's very first row
+        # (it fires at lane == r' and r' == lane there)
+        bq_vec = jnp.where(lane == 0, 0, gapo)
+        wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
+
+        def row(sr, rr, st):
+            u0, v0, x0, y0, qrow0, tq0 = st
+            srm = jax.lax.rem(sr, S_q)
+            blk = inj_ref[0, 0, rr].astype(jnp.int32)    # (SUB, 128)
+            # target switch at every lane ≡ sr (mod S_q)
+            onr = lane_mod == srm
+            for i in range(n_i):
+                tval = jnp.broadcast_to(blk[:, 1 + i:2 + i], (SUB, W))
+                tq0 = jnp.where(onr & (lane == srm + i * S_q), tval, tq0)
+            twild = tq0 >= 4
+            # query code enters at lane 0
+            qpad = blk if W == 128 else jnp.concatenate([blk, wpad], axis=1)
+            qrow = jnp.where(lmask, qpad, pltpu.roll(qrow0, 1, axis=1))
+            wild = jnp.logical_or(qrow >= 4, twild)
+            sc = jnp.where(wild, 0, jnp.where(qrow == tq0, match, mis))
+
+            ub = jnp.where(onr, bq_vec, u0)
+            yb = jnp.where(onr, 0, y0)
+            v1 = jnp.where(srm > 0, gapo, 0)
+            xs = jnp.where(lmask, 0, pltpu.roll(x0, 1, axis=1))
+            vs = jnp.where(lmask, v1, pltpu.roll(v0, 1, axis=1))
+
+            z = sc + qe2
+            a = xs + vs
+            b = yb + ub
+            d = (a > z).astype(jnp.int32)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b > z, 2, d)
+            z = jnp.maximum(z, b)
+            z = jnp.minimum(z, max_sc)
+            un = z - vs
+            vn = z - ub
+            z2 = z - gapo
+            a2 = a - z2
+            b2 = b - z2
+            xn = jnp.maximum(a2, 0)
+            yn = jnp.maximum(b2, 0)
+            d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+            out_ref[0, rr, :, :] = d.astype(jnp.uint8)
+            return (un, vn, xn, yn, qrow, tq0)
+
+        def body(i, st):
+            for k in range(unroll):
+                rr = i * unroll + k
+                st = row(c * chunk + rr, rr, st)
+            return st
+
+        st0 = (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+               tq_ref[:])
+        st = jax.lax.fori_loop(0, chunk // unroll, body, st0)
+        (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+         tq_ref[:]) = st
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk, SUB, 128),
+                         lambda b, c: (b, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, SUB, W),
+                               lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_rows_tot, SUB, W), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((SUB, W), jnp.int32)] * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(inj)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "S_q", "S_t", "K", "match", "mis", "gapo", "gape", "SUB", "interpret"))
+def wavefront_cigar_pipelined(qseq, tgt, ql, tl, S_q: int, S_t: int,
+                              K: int, match: int = 5, mis: int = -4,
+                              gapo: int = 40, gape: int = 1, SUB: int = 8,
+                              interpret: bool = False):
+    """Streamed fill + per-problem traceback.
+
+    qseq: (B, S_q) int8, tgt: (B, S_t) int8, ql/tl: (B,) int32, with
+    B = n_streams * K and problem (stream s, slot k) at index s*K + k.
+    Returns packed 2-bit ops (B, n_rows_bt // 4) uint8 in the same order
+    (row r at byte r//4, bits 2*(r%4); 3 = skipped)."""
+    B = tgt.shape[0]
+    n_streams = B // K
+    assert n_streams * K == B and n_streams % SUB == 0
+    chunk, n_rows_bt, n_rows_tot, n_i = _pipe_geometry(S_q, S_t, K, SUB)
+
+    # build the query stream and target injection stream
+    qs = qseq.astype(jnp.int8).reshape(n_streams, K * S_q)
+    qstream = jnp.concatenate(
+        [qs, jnp.full((n_streams, n_rows_tot - K * S_q), WILDCARD,
+                      jnp.int8)], axis=1)
+    TT = tgt.astype(jnp.int8).reshape(n_streams, K, S_t)
+    sr = jnp.arange(n_rows_tot, dtype=jnp.int32)
+    cols = []
+    for i in range(n_i):
+        m = sr // S_q - i
+        lane = sr % S_q + i * S_q
+        valid = (m >= 0) & (m < K) & (lane < S_t)
+        mc = jnp.clip(m, 0, K - 1)
+        lc = jnp.clip(lane, 0, S_t - 1)
+        v = TT[:, mc, lc]                      # (n_streams, n_rows_tot)
+        cols.append(jnp.where(valid[None, :], v, WILDCARD))
+    tinj = jnp.stack(cols, axis=2)
+
+    p = wavefront_pipelined_batch(qstream, tinj, S_q, S_t, K, match, mis,
+                                  gapo, gape, SUB=SUB, interpret=interpret)
+
+    qlb = ql.reshape(n_streams, K)
+    tlb = tl.reshape(n_streams, K)
+    outs = []
+    for k in range(K):
+        pk = jax.lax.dynamic_slice(
+            p, (0, k * S_q, 0, 0),
+            (p.shape[0], n_rows_bt, SUB, S_t))
+        qlk = jnp.broadcast_to(qlb[:, k:k + 1], (n_streams, 128))
+        tlk = jnp.broadcast_to(tlb[:, k:k + 1], (n_streams, 128))
+        ops = backtrack_pallas_batch(pk, qlk, tlk, S_q, S_t,
+                                     interpret=interpret)
+        outs.append(ops)
+    ops = jnp.stack(outs, axis=1).reshape(B, n_rows_bt)
+    o = jnp.minimum(ops, 3).astype(jnp.uint8)
+    return (o[:, 0::4] | (o[:, 1::4] << 2) | (o[:, 2::4] << 4)
+            | (o[:, 3::4] << 6))
 #
 # A 60 Kbp x 60 Kbp chunk's direction matrix is ~7.5 GB per sublane group —
 # it can never be materialized.  ksw2 bounds memory with banded per-diagonal
@@ -1221,10 +1443,15 @@ class WavefrontAligner:
                          or jax.default_backend() != "cpu")):
                 self._align_giant(pairs, idxs, S_q, S_t, results)
                 continue
+            G = _lane_groups(S_t)
+            if G == 1 and len(idxs) > _sublane_pack(S_t):
+                # wide classes with enough problems: the streamed kernel
+                # tiles triangles into the rotated rectangle (~2x fill)
+                self._align_pipelined(pairs, idxs, S_q, S_t, results)
+                continue
             # batch padded to a power of two (>= SUB*G for the sublane +
             # lane packing) so each (B, S_q, S_t) shape compiles once per
             # session
-            G = _lane_groups(S_t)
             SUB = _sublane_pack(S_t, len(idxs))
             B = SUB * G
             while B < len(idxs):
@@ -1264,6 +1491,35 @@ class WavefrontAligner:
                 results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
                                                      len(tc))
         return results
+
+    def _align_pipelined(self, pairs, idxs, S_q: int, S_t: int, results,
+                         K_MAX: int = 16):
+        """Streamed fill + traceback for one wide (G == 1) size class."""
+        SUB = _sublane_pack(S_t)
+        n_streams = SUB
+        for off in range(0, len(idxs), n_streams * K_MAX):
+            part = idxs[off:off + n_streams * K_MAX]
+            K = max(1, -(-len(part) // n_streams))
+            K = 1 << (K - 1).bit_length()  # pow2: few compile variants
+            B = n_streams * K
+            qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
+            tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
+            ql = np.ones(B, np.int32)
+            tl = np.ones(B, np.int32)
+            for bi, idx in enumerate(part):
+                qc, tc = pairs[idx]
+                qseq[bi, :len(qc)] = qc
+                tgts[bi, :len(tc)] = tc
+                ql[bi] = len(qc)
+                tl[bi] = len(tc)
+            ops = np.asarray(wavefront_cigar_pipelined(
+                jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
+                jnp.asarray(tl), S_q, S_t, K, self.match, self.mis,
+                self.gapo, self.gape, SUB=SUB, interpret=self.interpret))
+            for bi, idx in enumerate(part):
+                qc, tc = pairs[idx]
+                results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
+                                                     len(tc))
 
     def _align_giant(self, pairs, idxs, S_q: int, S_t: int, results):
         """Tiled checkpoint/recompute path for one giant size class."""

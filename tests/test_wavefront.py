@@ -194,3 +194,44 @@ def test_tiled_matches_numpy_interpret():
         got = cigar_from_ops(ops[b], len(q), len(t), skip=255)
         p, _ = wavefront_np(q, t)
         assert got == backtrack_np(p, len(q), len(t)), b
+
+
+def test_pipelined_matches_numpy_interpret():
+    """Streamed (pipelined) fill+traceback vs the NumPy oracle: problems
+    staggered by S_q rows share lanes; CIGARs must match the per-problem
+    DP exactly."""
+    import jax.numpy as jnp
+
+    from sedef_tpu.ops.wavefront import (backtrack_np,
+                                         cigar_from_packed_ops,
+                                         wavefront_cigar_pipelined,
+                                         wavefront_np)
+    rng = np.random.default_rng(8)
+    S, K, SUB = 128, 2, 8
+    B = SUB * K
+    qs = np.full((B, S), 4, np.int8)
+    ts = np.full((B, S), 4, np.int8)
+    qls = np.zeros(B, np.int32)
+    tls = np.zeros(B, np.int32)
+    pairs = []
+    for b in range(B):
+        ql = int(rng.integers(70, S + 1))
+        tl = int(rng.integers(70, S + 1))
+        L = max(ql, tl)
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.15
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        q, t = q[:ql], t[:tl]
+        pairs.append((q, t))
+        qs[b, :ql] = q
+        ts[b, :tl] = t
+        qls[b] = ql
+        tls[b] = tl
+    ops = np.asarray(wavefront_cigar_pipelined(
+        jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qls),
+        jnp.asarray(tls), S, S, K, SUB=SUB, interpret=True))
+    for b, (q, t) in enumerate(pairs):
+        got = cigar_from_packed_ops(ops[b], len(q), len(t))
+        p, _ = wavefront_np(q, t)
+        assert got == backtrack_np(p, len(q), len(t)), b
