@@ -1,24 +1,63 @@
 """Simulation accuracy table (paper/output-rand.txt analog).
 
-Usage: python tools/accuracy_table.py [runs_per_rate] [max_error] [max_len]
-"""
-import random, sys, pathlib
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-import jax
-jax.config.update("jax_platforms", "cpu")
-from sedef_tpu.models.simulate import classify_pair, generate_random_sd
-from sedef_tpu.ops.wavefront import WavefrontAligner
+Usage: python tools/accuracy_table.py [runs_per_rate] [max_error]
+       [max_len] [--jobs=N]
 
-runs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-max_err = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-max_len = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
-al = WavefrontAligner(use_tpu=False)
-print("error;hits;misses;partials")
-for error in range(0, max_err + 1):
+Matches the reference harness regime (simulations.py:320-344): SD pair
+lengths uniform in [1000, max_len] with max_len defaulting to the
+reference's 100,000 (a 20 Kbp cap oversamples the short+high-divergence
+corner where both engines lose sensitivity, and was the source of the
+round-1 98.5% vs >=99.3% gap), error rates 0..max_error, fanned over a
+process pool per rate (the reference uses Pool(32))."""
+import os
+import pathlib
+import random
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def one_rate(args):
+    error, runs, max_len = args
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from sedef_tpu.models.simulate import classify_pair, generate_random_sd
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    al = WavefrontAligner(use_tpu=False)
     rng = random.Random(1000 + error)
     out = {"hit": 0, "miss": 0, "partial": 0}
     for _ in range(runs):
         s1, s2, _ = generate_random_sd(rng, error, min_len=1000,
                                        max_len=max_len)
         out[classify_pair(s1, s2, error, aligner=al)] += 1
-    print(f"{error};{out['hit']};{out['miss']};{out['partial']}", flush=True)
+    return error, out
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = int(args[0]) if args else 20
+    max_err = int(args[1]) if len(args) > 1 else 30
+    max_len = int(args[2]) if len(args) > 2 else 100_000
+    jobs = os.cpu_count() or 2
+    for a in sys.argv[1:]:
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=")[1])
+
+    work = [(e, runs, max_len) for e in range(0, max_err + 1)]
+    print("error;hits;misses;partials", flush=True)
+    if jobs > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=jobs) as ex:
+            results = ex.map(one_rate, work)
+            for error, out in results:
+                print(f"{error};{out['hit']};{out['miss']};"
+                      f"{out['partial']}", flush=True)
+    else:
+        for w in work:
+            error, out = one_rate(w)
+            print(f"{error};{out['hit']};{out['miss']};{out['partial']}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
