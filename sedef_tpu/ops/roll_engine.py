@@ -235,6 +235,17 @@ def _t_class(n: int) -> int:
     return 0  # too large -> host
 
 
+# NOTE on a Pallas variant (tried, measured, removed): keeping the sketch
+# VMEM-resident with one interval per lane and the sorted store along
+# sublanes is 3x SLOWER than this XLA formulation (sublane-axis one-hot
+# reductions and rolls are the slow axis, and the per-step ref round
+# trips dominate).  More fundamentally, exact replay costs O(W) vector
+# lanes per roll step against the scalar engine's amortized O(1) ordered-
+# map ops, so the device advantage is bounded by batch width; the XLA
+# version (~10M steps/s/chip) already beats the host only above the
+# dispatch threshold, which is why ROLL_DEVICE_MIN gates it.
+
+
 class RollEngine:
     """Batches planned intervals by roll-length class and runs them on
     device.  ``run`` takes the plan arrays (see native sedef_search_plan)
