@@ -129,21 +129,24 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
             for i in range(j, nbins)
             for is_rc in (False, True)]
     cache = IndexCache(fr, cfg, use_device)
+
+    def timed(t):
+        t0 = time.time()
+        out = search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
+                         use_device, cache)
+        return out, time.time() - t0
+
     if jobs <= 1:
-        results = [search_job(fr, bins[i], bins[j], is_rc, cfg, use_device,
-                              cache)
-                   for (i, j, is_rc) in todo]
+        results = [timed(t) for t in todo]
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            results = list(ex.map(
-                lambda t: search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
-                                     use_device, cache), todo))
+            results = list(ex.map(timed, todo))
     lines: list[str] = []
-    for (i, j, is_rc), job in zip(todo, results):
+    for (i, j, is_rc), (job, dt) in zip(todo, results):
         lines.extend(job)
         if progress:
-            progress(i, j, is_rc, len(job))
+            progress(i, j, is_rc, len(job), dt)
     return lines
 
 
@@ -334,12 +337,17 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         _eprn(f"[search] resumed  {len(seed_lines)} seeds", quiet)
     else:
         t0 = time.time()
-        # per-job completion audit (sedef.sh:145-149: the reference greps
-        # its GNU-parallel logs and aborts unless every job reported)
+        # per-job completion audit + TIMING rows (sedef.sh:137-158: the
+        # reference wraps jobs in /usr/bin/time, greps its GNU-parallel
+        # logs, aborts unless every job reported, and aggregates the
+        # single-core time / peak RSS)
         job_rows: list[str] = []
+        job_secs: list[float] = []
 
-        def _audit(i, j, is_rc, n):
-            job_rows.append(f"{i}\t{j}\t{int(is_rc)}\t{n}\tOK")
+        def _audit(i, j, is_rc, n, dt):
+            job_rows.append(
+                f"{i}\t{j}\t{int(is_rc)}\t{n}\tTIMING: {dt:.2f}\tOK")
+            job_secs.append(dt)
 
         seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
                                   jobs=jobs, progress=_audit)
@@ -350,6 +358,14 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
             raise RuntimeError(
                 f"search stage incomplete: {len(job_rows)}/{expected} "
                 "pair jobs reported (see seeds.joblog)")
+        try:
+            import resource
+            rss_mb = (resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                      // 1024)
+        except Exception:  # pragma: no cover
+            rss_mb = -1
+        _eprn(f"[search] single-core job time: {sum(job_secs):.1f}s over "
+              f"{len(job_secs)} jobs; peak RSS: {rss_mb} MB", quiet)
         _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
               f"(attempts={filt.COUNTERS['total']} "
               f"jaccard-fail={filt.COUNTERS['jaccard']} "
