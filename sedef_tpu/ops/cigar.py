@@ -457,11 +457,21 @@ class Alignment:
         return sc
 
     def trim_front(self, cfg: Config = DEFAULT) -> None:
-        """Keep the max-scoring suffix (align.cc:343-398)."""
+        """Keep the max-scoring suffix (align.cc:343-398).
+
+        Reference quirk reproduced: align.cc:345 initializes the
+        "trim everything" sentinel to ``max_i = a.size()``, but max_i
+        stores a GAPPED column index — when the optimal cut lands exactly
+        at column a.size() (possible whenever the alignment contains
+        gaps), the sentinel collides with a legitimate answer and the
+        whole suffix is discarded despite a positive score.  trim_back's
+        sentinel is -1 and cannot collide."""
         n = len(self.alignment)
         sc = self._column_scores(cfg, forward=False)
         rcum = np.cumsum(sc[::-1])[::-1] if n else np.empty(0, np.int64)
-        if n == 0 or rcum.max() < 0:
+        gm = rcum.max() if n else -1
+        max_i = int(np.nonzero(rcum == gm)[0][0]) if n and gm >= 0 else -1
+        if n == 0 or gm < 0 or max_i == len(self.a):
             self.a = ""
             self.b = ""
             self.start_a = self.end_a
@@ -469,8 +479,6 @@ class Alignment:
             self.cigar = []
             self.populate()
             return
-        gm = rcum.max()
-        max_i = int(np.nonzero(rcum == gm)[0][0])  # smallest i (ties)
         # cigar surgery (align.cc:374-397)
         cur_len = 0
         ci = 0

@@ -84,3 +84,31 @@ def test_fast_align_matches_reference(fixtures_dir, name):
         got = [(h.query_start, h.query_end, h.ref_start, h.ref_end,
                 h.aln.cigar_string()) for h in hits]
         assert got == expect
+
+
+def test_trim_front_sentinel_collision_quirk():
+    """align.cc:345 initializes trim_front's "trim everything" sentinel to
+    max_i = a.size(), but max_i stores a GAPPED column index — when the
+    optimal cut lands exactly at column a.size() the reference discards a
+    positive-scoring suffix.  Verified against an instrumented build of
+    the reference trim_front on real data (a 100 Mbp ref-diff divergence
+    was exactly this); we reproduce the quirk bit-for-bit."""
+    from sedef_tpu.ops.cigar import Alignment
+
+    # 20 a-chars; dropping 14 mismatch-M columns + 6 I columns = 20
+    # dropped columns == len(a): the 6M match suffix (+30) starts exactly
+    # at gapped column 20 -> the reference (and we) trim EVERYTHING.
+    a = "A" * 14 + "C" * 6
+    b = "G" * 14 + "T" * 6 + "C" * 6
+    aln = Alignment.from_cigar(a, b, "14M6I6M")
+    aln.trim_front()
+    assert aln.cigar == [] and aln.start_a == aln.end_a
+
+    # control: a 5-wide I run -> cut at column 17 != len(a2) = 18, the
+    # suffix survives
+    a2 = "A" * 12 + "C" * 6
+    b2 = "G" * 12 + "T" * 5 + "C" * 6
+    aln2 = Alignment.from_cigar(a2, b2, "12M5I6M")
+    aln2.trim_front()
+    assert aln2.cigar == [("M", 6)]
+    assert aln2.end_a - aln2.start_a == 6
