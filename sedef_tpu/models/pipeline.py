@@ -343,15 +343,20 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         # single-core time / peak RSS)
         job_rows: list[str] = []
         job_secs: list[float] = []
+        expected = len(bins) * (len(bins) + 1)
 
         def _audit(i, j, is_rc, n, dt):
             job_rows.append(
                 f"{i}\t{j}\t{int(is_rc)}\t{n}\tTIMING: {dt:.2f}\tOK")
             job_secs.append(dt)
+            if not quiet:  # in-place progress (search_main.cc:52-57)
+                print(f"\r[search] {len(job_rows)}/{expected} pair jobs",
+                      end="", file=sys.stderr, flush=True)
 
         seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
                                   jobs=jobs, progress=_audit)
-        expected = len(bins) * (len(bins) + 1)
+        if not quiet:
+            print("", file=sys.stderr)
         with open(os.path.join(out_dir, "seeds.joblog"), "w") as f:
             f.write("\n".join(job_rows) + ("\n" if job_rows else ""))
         if len(job_rows) != expected:
