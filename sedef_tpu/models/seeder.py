@@ -512,9 +512,15 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                 # gate on DEVICE-ELIGIBLE roll steps only: intervals beyond
                 # the kernel ladder are host-rolled regardless, so they
                 # must not trigger a pointless dispatch
+                from ..debug import dprn
                 from ..ops.roll_engine import T_PAD_LADDER
                 steps = plan[1][:, 4]
                 eligible = int(steps[steps <= T_PAD_LADDER[-1]].sum())
+                dprn("[seeder] {} vs {}: plan {} windows / {} intervals, "
+                     "{} eligible roll steps -> {}",
+                     query_hash.seq.name, ref_hash.seq.name,
+                     len(plan[0]), len(plan[1]), eligible,
+                     "device" if eligible >= ROLL_DEVICE_MIN else "host")
                 if len(plan[1]) and eligible >= ROLL_DEVICE_MIN:
                     results = _device_roll_results(query_hash, ref_hash,
                                                    plan, cfg)

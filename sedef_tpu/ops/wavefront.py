@@ -1433,7 +1433,10 @@ class WavefrontAligner:
             key = (_pad_to_class(len(qc)), _pad_to_class(len(tc)))
             groups.setdefault(key, []).append(idx)
 
+        from ..debug import dprn
         for (S_q, S_t), idxs in groups.items():
+            dprn("[aligner] class ({}, {}): {} problems", S_q, S_t,
+                 len(idxs))
             # giant classes: the direct kernel's dense direction matrix
             # (n_rows x S_t x SUB bytes per sublane group) would not fit;
             # route to the tiled checkpoint/recompute path
