@@ -436,12 +436,20 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
     return parse_hits(hits)
 
 
-# below this many total planned roll steps per chromosome pair, the device
-# dispatch overhead beats the host roll (~37 ns/step native vs ~30 ms per
-# dispatch on this tunneled v5e; on a directly-attached host the floor is
-# ~100x lower — override with SEDEF_ROLL_DEVICE_MIN_STEPS)
+# Device roll dispatch threshold (total ladder-eligible roll steps per
+# chromosome pair).  DEFAULT: effectively disabled — the measured truth on
+# v5e is that the exact sliding-sketch replay does NOT map profitably onto
+# the VPU: the XLA engine sustains ~9M roll steps/s/chip against ~27M/s on
+# ONE host core (the replay is O(W) vector lanes per step vs the scalar
+# engine's amortized O(1) ordered-map ops, plus T-class padding), so on a
+# repeat-rich 20 Mbp workload device rolls cost 380 s where host rolls
+# cost 0.2 s of a 4.2 s stage.  The machinery stays (byte-identical,
+# tested — see ops/roll_engine.py and tests/test_roll_engine.py) for
+# hosts where CPU cycles are the scarce resource; enable with
+# SEDEF_ROLL_DEVICE_MIN_STEPS.  The device seeding win that DOES pay is
+# the index build (ops/winnow_device.py, auto-on).
 ROLL_DEVICE_MIN = int(__import__("os").environ.get(
-    "SEDEF_ROLL_DEVICE_MIN_STEPS", 2_000_000))
+    "SEDEF_ROLL_DEVICE_MIN_STEPS", 1 << 60))
 
 
 _ROLL_ENGINES: dict = {}
