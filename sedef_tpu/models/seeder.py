@@ -451,8 +451,50 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
 ROLL_DEVICE_MIN = int(__import__("os").environ.get(
     "SEDEF_ROLL_DEVICE_MIN_STEPS", 1 << 60))
 
+# Recompute-wide device PREFILTER (ops/prefilter.py): default ON whenever
+# the device path is active.  Unlike the replay engine above, it does no
+# sequential work — it batch-computes a provable upper bound on every
+# planned interval's best roll Jaccard and skips the intervals that
+# cannot pass the gate; the host rolls only survivors.  Byte-identical
+# (the bound is sound, see ops/prefilter.py docstring).  Disable with
+# SEDEF_NO_PREFILTER=1.
+PREFILTER_ON = __import__("os").environ.get("SEDEF_NO_PREFILTER", "") == ""
+
+# dispatch floor: below this many planned roll steps the host finishes
+# the rolls faster than one device round trip (~ms); keep small batches
+# on host.  Override with SEDEF_PREFILTER_MIN_STEPS.
+PREFILTER_MIN_STEPS = int(__import__("os").environ.get(
+    "SEDEF_PREFILTER_MIN_STEPS", 1 << 16))
+
 
 _ROLL_ENGINES: dict = {}
+_PREFILTERS: dict = {}
+
+
+def _device_prefilter_results(query_hash: MinimizerIndex,
+                              ref_hash: MinimizerIndex, plan, cfg: Config):
+    """Batched roll-fail proofs for a speculative plan (native
+    sedef_search_plan).  Returns (best_j, best_steps, ok) in the native
+    results contract: intervals with ok and best_j < 0 are proven Jaccard
+    fails (skipped without rolling); ok=False intervals roll on host."""
+    import numpy as np
+
+    from ..ops.prefilter import RollPrefilter
+    from ..ops.stat_model import relaxed_jaccard_table
+
+    win, iv = plan
+    k = cfg.search.kmer_size
+    pf = _PREFILTERS.get((k, cfg.search.min_read_size, id(cfg)))
+    if pf is None:
+        pf = RollPrefilter(k, relaxed_jaccard_table(320, k, cfg),
+                           cfg.search.min_read_size)
+        _PREFILTERS[(k, cfg.search.min_read_size, id(cfg))] = pf
+    qk, _ = query_hash.device_arrays()
+    rk, rl = ref_hash.device_arrays()
+    woff = np.repeat(np.arange(len(win)), win[:, 3])
+    return pf.run(qk, rk, rl, ref_hash.locs,
+                  win[woff, 1], win[woff, 2],
+                  iv[:, 0], iv[:, 2], iv[:, 4])
 
 
 def _device_roll_results(query_hash: MinimizerIndex,
@@ -513,27 +555,38 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
             _native = None
         if _native is not None and _native.has("search"):
             plan = results = None
-            if (use_device and cfg.search.kmer_size <= 13
+            if (use_device and cfg.search.kmer_size <= 14
                     and _native.has("search_plan")):
                 plan = _native.search_plan(query_hash, ref_hash,
                                            is_same_genome, cfg)
-                # gate on DEVICE-ELIGIBLE roll steps only: intervals beyond
-                # the kernel ladder are host-rolled regardless, so they
-                # must not trigger a pointless dispatch
                 from ..debug import dprn
                 from ..ops.roll_engine import T_PAD_LADDER
                 steps = plan[1][:, 4]
+                total_steps = int(steps.sum())
+                # the exact replay engine only pays off when explicitly
+                # enabled (SEDEF_ROLL_DEVICE_MIN_STEPS); it is capped by
+                # its T-class ladder AND k <= 13 (packed flag bits)
                 eligible = int(steps[steps <= T_PAD_LADDER[-1]].sum())
-                dprn("[seeder] {} vs {}: plan {} windows / {} intervals, "
-                     "{} eligible roll steps -> {}",
-                     query_hash.seq.name, ref_hash.seq.name,
-                     len(plan[0]), len(plan[1]), eligible,
-                     "device" if eligible >= ROLL_DEVICE_MIN else "host")
-                if len(plan[1]) and eligible >= ROLL_DEVICE_MIN:
+                if (len(plan[1]) and cfg.search.kmer_size <= 13
+                        and eligible >= ROLL_DEVICE_MIN):
+                    mode = "device-roll"
                     results = _device_roll_results(query_hash, ref_hash,
                                                    plan, cfg)
+                elif (len(plan[1]) and PREFILTER_ON
+                        and total_steps >= PREFILTER_MIN_STEPS):
+                    mode = "prefilter"
+                    results = _device_prefilter_results(
+                        query_hash, ref_hash, plan, cfg)
                 else:
+                    mode = "host"
                     plan = None
+                dprn("[seeder] {} vs {}: plan {} windows / {} intervals, "
+                     "{} roll steps -> {}{}",
+                     query_hash.seq.name, ref_hash.seq.name,
+                     len(plan[0]) if plan is not None else 0,
+                     len(steps), total_steps, mode,
+                     " ({} pruned)".format(int(results[2].sum()))
+                     if mode == "prefilter" else "")
             rows = _native.search(query_hash, ref_hash, is_same_genome,
                                   cfg, plan=plan, results=results)
             qref = SeqRef(query_hash.seq.name, query_hash.seq.is_rc,

@@ -1,0 +1,235 @@
+"""Recompute-wide device prefilter for the stage-1 roll (SURVEY §7.1).
+
+The reference's hottest loop (``src/search.cc:289-315``) rolls a ~700 bp
+reference window 1 bp at a time over each candidate interval, maintaining
+the incremental path-dependent sketch of ``src/sliding.cc``.  Replaying
+that op stream on device is a loss (see ops/roll_engine.py) — so instead
+of replaying it, this module *bounds* it, batched over every planned
+interval at once, and proves most intervals cannot pass the Jaccard gate
+without any sequential work at all.
+
+Soundness (why a bound suffices for byte-identical output):
+
+* The sliding map's ``add`` (sliding.cc:69-93) counts a new shared
+  element only when it lands STRICTLY below the boundary iterator
+  (``it->first < boundary->first``, sliding.cc:86); an element landing
+  exactly ON the boundary — inside the sketch window — is silently not
+  counted.  Every other update (``remove``'s ``<=`` test, the boundary
+  steps on insert/erase, the query-side adds) applies the exact delta of
+  the *ideal* sketch intersection — the number of shared keys among the
+  |Q| smallest elements of the union W(A) ∪ W(B), boundary inclusive.
+  The counter's deviation from ideal is therefore a sum of missed
+  increments only:
+
+      intersection(step) <= ideal(window composition at that step)
+
+  for every step of every op stream.
+* Every window the roll evaluates is a loci-window of length
+  ``init_len``; its composition (the set of reference minimizers inside)
+  changes only when the window boundary crosses a minimizer locus, so
+  the distinct compositions of an interval's roll are exactly the
+  windows starting at ``t0`` or at ``locs[i]+1`` / ``locs[i]-L+1``
+  (clamped to ``[t0, t0+n_steps]``) for span minimizers ``i`` —
+  ~``2*span+1`` candidate offsets.  If
+
+      max over those compositions of ideal < limit
+
+  (the sketch's relaxed Jaccard cutoff — fixed during the roll because
+  the query side never changes), the roll provably ends with
+  ``jaccard() < 0``: the interval takes the JACCARD_FAILED branch with
+  no hit and no tree update, so skipping it is byte-identical (native
+  sedef_search's ``dev[0] < 0`` path still bumps the total/jaccard
+  funnel counters).
+
+The TPU formulation is recompute-wide over increment-narrow: each
+composition is one independent row — gather its <=RW window keys, sort,
+dedup, and merge-rank against the window's sorted query sketch (the
+``ideal`` count, computed exactly like :func:`sketch_intersection` in
+ops/jaccard_batch.py) — thousands of rows per dispatch with no
+sequential dependence, versus the scalar engine's O(steps) chain of
+O(log W) ordered-map ops.  The host rolls only the surviving intervals.
+A violation of the bound is impossible by the argument above;
+tests/test_prefilter.py re-verifies it empirically against the scalar
+SlidingJaccard oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF32 = np.int32(2**31 - 1)
+
+DEFAULT_SQ = 160   # max distinct query-window keys
+DEFAULT_RW = 192   # max minimizers inside one init_len window
+ROW_BATCHES = (8192, 131072)  # composition rows per dispatch (2 compiles)
+
+
+@functools.partial(jax.jit, static_argnames=("SQ",))
+def _window_sketches(q_keys, qws, qwe, limit_lut, SQ: int):
+    """Per-interval sorted distinct query-window keys + relaxed limit.
+
+    Returns (qk (B, SQ) int32 INF-padded ascending, s (B,), limit (B,),
+    ovf (B,) bool)."""
+    B = qws.shape[0]
+    nq = q_keys.shape[0]
+    gq = qws[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, SQ), 1)
+    valq = gq < qwe[:, None]
+    qk = jnp.where(valq, jnp.take(q_keys, jnp.minimum(gq, nq - 1)), INF32)
+    qk = jnp.sort(qk, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), qk[:, 1:] == qk[:, :-1]], axis=1)
+    qk = jnp.sort(jnp.where(dup, INF32, qk), axis=1)
+    s = jnp.sum(qk != INF32, axis=1).astype(jnp.int32)
+    limit = limit_lut[jnp.minimum(s, limit_lut.shape[0] - 1)]
+    return qk, s, limit, (qwe - qws) > SQ
+
+
+@functools.partial(jax.jit, static_argnames=("RW", "n_shift", "L"))
+def _composition_ideals(r_keys, r_locs, qk_all, s_all, rs, iv_id,
+                        RW: int, n_shift: int, L: int):
+    """Ideal sketch intersection for one batch of composition rows.
+
+    rs (N,) int32 window-start offsets; iv_id (N,) int32 interval index
+    into qk_all/s_all.  Returns (N,) int32 ideal counts, or INF32 where
+    the window overflowed RW (no bound for that row)."""
+    N = rs.shape[0]
+    nrr = r_keys.shape[0]
+    a = jnp.searchsorted(r_locs, rs, side="left").astype(jnp.int32)
+    b = jnp.searchsorted(r_locs, rs + L, side="left").astype(jnp.int32)
+    ovf = (b - a) > RW
+
+    gi = a[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, RW), 1)
+    val = gi < b[:, None]
+    keys_w = jnp.where(val, jnp.take(r_keys, jnp.minimum(gi, nrr - 1)),
+                       INF32)
+    # HAS_N ref keys are never added to the sketch (sliding.cc:158-168)
+    keys_w = jnp.where((keys_w >> n_shift) == 2, INF32, keys_w)
+    keys_w = jnp.sort(keys_w, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((N, 1), bool), keys_w[:, 1:] == keys_w[:, :-1]], axis=1)
+    keys_w = jnp.sort(jnp.where(dup, INF32, keys_w), axis=1)
+
+    qk = jnp.take(qk_all, iv_id, axis=0)          # (N, SQ)
+    s = jnp.take(s_all, iv_id)
+
+    # ideal = |{k in Q ∩ R : rank_union(k) < s}| (jaccard_batch.py:43-56)
+    pos = jax.vmap(jnp.searchsorted)(keys_w, qk).astype(jnp.int32)
+    member = (jnp.take_along_axis(keys_w, jnp.minimum(pos, RW - 1), axis=1)
+              == qk) & (qk != INF32)
+    common_below = jnp.concatenate(
+        [jnp.zeros((N, 1), jnp.int32),
+         jnp.cumsum(member.astype(jnp.int32), axis=1)], axis=1)[:, :-1]
+    qidx = jax.lax.broadcasted_iota(jnp.int32, member.shape, 1)
+    rank = qidx + pos - common_below
+    ideal = jnp.sum(member & (rank < s[:, None]), axis=1).astype(jnp.int32)
+    return jnp.where(ovf, INF32, ideal)
+
+
+def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concatenate([arange(s, s+c) for s, c in zip(starts, counts)])."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    off = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(off, counts) + np.repeat(starts, counts))
+
+
+class RollPrefilter:
+    """Batches planned intervals into composition rows and returns
+    per-interval verdicts in the native ``sedef_search`` results contract:
+    (best_j=-1, best_steps=0, ok=True) where the roll provably fails the
+    Jaccard gate; ok=False (host rolls) everywhere else."""
+
+    def __init__(self, kmer_size: int, limit_lut: np.ndarray,
+                 init_len: int, SQ: int = DEFAULT_SQ, RW: int = DEFAULT_RW):
+        if kmer_size > 14:
+            raise ValueError("packed int32 keys need 2k+2 <= 30 (k <= 14)")
+        self.n_shift = 2 * kmer_size
+        self.limit_lut = jnp.asarray(limit_lut.astype(np.int32))
+        self.L = int(init_len)
+        self.SQ = SQ
+        self.RW = RW
+
+    def run(self, q_keys_dev, r_keys_dev, r_locs_dev,
+            r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps):
+        """Verdicts for all planned intervals (plan order).
+
+        r_locs_host: unpadded host loci (event construction);
+        qws/qwe: per-interval query window minimizer range;
+        t0/rws0/n_steps: plan interval columns."""
+        n = len(qws)
+        bj = np.zeros(n, np.int32)
+        bs = np.zeros(n, np.int32)
+        ok = np.zeros(n, bool)
+        if n == 0:
+            return bj, bs, ok
+        qws = np.asarray(qws, np.int32)
+        qwe = np.asarray(qwe, np.int32)
+        t0 = np.asarray(t0, np.int64)
+        rws0 = np.asarray(rws0, np.int64)
+        n_steps = np.asarray(n_steps, np.int64)
+
+        # ---- per-interval query sketches (one dispatch) ----
+        qk_all, s_all, limit, qovf = _window_sketches(
+            q_keys_dev, jnp.asarray(qws), jnp.asarray(qwe),
+            self.limit_lut, SQ=self.SQ)
+
+        # ---- composition rows: every distinct window the roll visits
+        # starts at t0 or at a (clamped) minimizer-boundary event ----
+        span_end = np.searchsorted(r_locs_host, t0 + n_steps + self.L,
+                                   side="left").astype(np.int64)
+        span_n = np.maximum(span_end - rws0, 0)
+        idx = _ragged_arange(rws0, span_n)
+        ev_loc = r_locs_host[idx].astype(np.int64)
+        row_iv1 = np.repeat(np.arange(n, dtype=np.int32), span_n)
+        lo = t0[row_iv1]
+        hi = t0[row_iv1] + n_steps[row_iv1]
+        rs_events = np.concatenate([
+            np.clip(ev_loc + 1, lo, hi),           # remove-boundary events
+            np.clip(ev_loc - self.L + 1, lo, hi),  # add-boundary events
+            t0,                                    # the initial window
+        ])
+        row_iv = np.concatenate([row_iv1, row_iv1,
+                                 np.arange(n, dtype=np.int32)])
+        rs_events = rs_events.astype(np.int32)
+
+        # ---- batched ideal evaluation (async dispatches) ----
+        N = len(rs_events)
+        pending = []
+        offv = 0
+        while offv < N:
+            B = ROW_BATCHES[-1]
+            for rb in ROW_BATCHES:
+                if N - offv <= rb:
+                    B = rb
+                    break
+            part = slice(offv, min(offv + B, N))
+            m = part.stop - part.start
+            pad = B - m
+            rs_b = rs_events[part]
+            iv_b = row_iv[part]
+            if pad:
+                rs_b = np.concatenate([rs_b, np.zeros(pad, np.int32)])
+                iv_b = np.concatenate([iv_b, np.zeros(pad, np.int32)])
+            out = _composition_ideals(
+                r_keys_dev, r_locs_dev, qk_all, s_all,
+                rs_b, iv_b, RW=self.RW, n_shift=self.n_shift, L=self.L)
+            pending.append((part, m, out))
+            offv = part.stop
+
+        ideal_max = np.zeros(n, np.int64)
+        for part, m, out in pending:
+            vals = np.asarray(out)[:m].astype(np.int64)
+            np.maximum.at(ideal_max, row_iv[part], vals)
+
+        limit = np.asarray(limit).astype(np.int64)
+        qovf = np.asarray(qovf)
+        verdict = (~qovf) & (np.asarray(s_all) > 0) & (ideal_max < limit)
+        bj[verdict] = -1
+        ok[:] = verdict
+        return bj, bs, ok
