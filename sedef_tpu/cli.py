@@ -71,8 +71,9 @@ def cmd_align(args) -> int:
         seed_lines = []
         for p in paths:
             seed_lines.extend(open(p).read().splitlines())
-        buckets = pl.bucket_stage(seed_lines, fr, bins, args.bins, cfg)
         os.makedirs(args.out_dir, exist_ok=True)
+        buckets = pl.bucket_stage(seed_lines, fr, bins, args.bins, cfg,
+                                  tmp_dir=args.out_dir)
         for b, lines in enumerate(buckets):
             with open(os.path.join(args.out_dir, f"bucket_{b:04d}"),
                       "w") as f:
@@ -132,8 +133,11 @@ def cmd_pipeline(args) -> int:
     cfg = _cfg_from_args(args)
     paths = pl.run_pipeline(args.fasta, args.output, cfg,
                             nbuckets=args.bins, jobs=args.jobs,
-                            quiet=False, force=args.force)
+                            quiet=False, force=args.force,
+                            wgac=getattr(args, "wgac", None))
     print(f"Final SDs available in {paths['final']}", file=sys.stderr)
+    if "wgac" in paths:
+        print(open(paths["wgac"]).read(), end="", file=sys.stderr)
     return 0
 
 
@@ -220,9 +224,14 @@ def main(argv=None) -> int:
                     help="parallel jobs (sedef.sh -j equivalent)")
     pi.add_argument("-f", "--force", action="store_true",
                     help="ignore stage sentinels and recompute")
+    pi.add_argument("-W", "--wgac",
+                    help="WGAC tab file: run overlap + diff after final.bed"
+                         " (sedef.sh -w)")
     pi.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
+    from .debug import enable_compilation_cache
+    enable_compilation_cache()
     _banner()
     try:
         return args.fn(args)

@@ -16,3 +16,24 @@ def dprn(fmt: str, *args) -> None:
     if _ON:
         print(fmt.format(*args) if args else fmt, file=sys.stderr,
               flush=True)
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for production entry points.
+
+    Each distinct jit variant costs tens of seconds through this
+    environment's remote TPU compile service; a disk cache brings warm
+    runs to milliseconds (tests/conftest.py does the same for the test
+    suite).  Honors JAX_COMPILATION_CACHE_DIR if already set; defaults to
+    <repo>/.cache/jax.  Safe to call multiple times / before first
+    backend use."""
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".cache", "jax"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -150,50 +150,91 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     return lines
 
 
-def bucket_stage(seed_lines: list[str], fr: FastaReference,
+def _tmp_bin_name(key: tuple[int, int]) -> str:
+    """Reference tmp-spill filename (align_main.cc:90-92).  The reference
+    iterates its ``map<string, FILE*>`` in lexicographic order of this
+    string — NOT numeric (bi, bj) order; they diverge from 10 super-bins
+    up (e.g. tmp_10_0 < tmp_2_0), so both modes below sort by it."""
+    return f"tmp_{key[0]}_{key[1]}.tmp"
+
+
+def bucket_stage(seed_lines, fr: FastaReference,
                  bins: list[list[str]], nbuckets: int = 1000,
-                 cfg: Config = DEFAULT) -> list[list[str]]:
+                 cfg: Config = DEFAULT,
+                 tmp_dir: str | None = None) -> list[list[str]]:
     """Stage 2a (align_main.cc:38-198): extend x5/15 Kbp, canonical swap,
-    per-(bin_i, bin_j) merge, complexity-stratified round-robin buckets."""
+    per-(bin_i, bin_j) merge, complexity-stratified round-robin buckets.
+
+    ``tmp_dir`` enables the reference's disk-spill mode
+    (align_main.cc:89-106): extended hits stream to per-(bin_i, bin_j)
+    tmp files and are reloaded one bin at a time, bounding peak memory by
+    the largest bin instead of the whole genome's extended-hit set.
+    ``seed_lines`` may be any iterable (e.g. a file line generator)."""
     lookup: dict[str, int] = {}
     for bi, names in enumerate(bins):
         for name in names:
             lookup[name] = bi
 
-    tmp: dict[tuple[int, int], list[Hit]] = defaultdict(list)
+    spill = tmp_dir is not None
+    if spill:
+        os.makedirs(tmp_dir, exist_ok=True)
+    handles: dict[tuple[int, int], object] = {}
+    tmp: dict[tuple[int, int], list[str]] = defaultdict(list)
     for line in seed_lines:
         if not line.strip():
             continue
         h, _ = Hit.from_bed(line)
         h.extend(cfg.extend.ratio, cfg.extend.max_extend)
         canonical_swap(h)
-        tmp[(lookup[h.query.name], lookup[h.ref.name])].append(h)
+        key = (lookup[h.query.name], lookup[h.ref.name])
+        # tmp rows round-trip through to_bed(False)/from_bed in the
+        # reference; replicate so coordinates/strands match exactly
+        row = h.to_bed(False)
+        if spill:
+            f = handles.get(key)
+            if f is None:
+                f = open(os.path.join(tmp_dir, _tmp_bin_name(key)), "w")
+                handles[key] = f
+            f.write(row + "\n")
+        else:
+            tmp[key].append(row)
+    if spill:
+        for f in handles.values():
+            f.close()
+    keys = sorted(handles if spill else tmp, key=_tmp_bin_name)
 
-    # the reference iterates its tmp-file map in lexicographic filename
-    # order; numeric key order matches for < 10 bins, which covers the
-    # supported configurations identically after the global sort|uniq
-    merged: dict[tuple[int, int], list[str]] = {}
+    def read_bin(key):
+        if spill:
+            with open(os.path.join(tmp_dir, _tmp_bin_name(key))) as f:
+                return f.read().splitlines()
+        return tmp[key]
+
+    def write_bin(key, lines):
+        if spill:
+            with open(os.path.join(tmp_dir, _tmp_bin_name(key)), "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+        else:
+            tmp[key] = lines
+
     max_complexity = 0
     complexity_hist: dict[int, int] = defaultdict(int)
-    for key in sorted(tmp):
-        # tmp files round-trip through to_bed(False)/from_bed in the
-        # reference; replicate so coordinates/strands match exactly
-        hits = [Hit.from_bed(h.to_bed(False))[0] for h in tmp[key]]
+    for key in keys:
+        hits = [Hit.from_bed(r)[0] for r in read_bin(key)]
         hits = merge_hits(hits, cfg.extend.merge_dist)
         for h in hits:
             c = int(math.sqrt(float(h.query_end - h.query_start)
                               * float(h.ref_end - h.ref_start)))
             max_complexity = max(max_complexity, c)
             complexity_hist[c // 1000] += 1
-        merged[key] = [h.to_bed(False) for h in hits]
+        write_bin(key, [h.to_bed(False) for h in hits])
 
     next_bin = [0]
     for c in range(1, max_complexity // 1000 + 1):
         next_bin.append((next_bin[c - 1] + complexity_hist[c - 1]) % nbuckets)
 
     buckets: list[list[str]] = [[] for _ in range(nbuckets)]
-    for key in sorted(merged):
-        for line in merged[key]:
+    for key in keys:
+        for line in read_bin(key):
             h, _ = Hit.from_bed(line)
             c = int(math.sqrt(float(h.query_end - h.query_start)
                               * float(h.ref_end - h.ref_start))) // 1000
@@ -204,6 +245,9 @@ def bucket_stage(seed_lines: list[str], fr: FastaReference,
                 h.query_start, h.ref_start = h.ref_start, h.query_start
                 h.query_end, h.ref_end = h.ref_end, h.query_end
             buckets[b].append(h.to_bed(False))
+    if spill:
+        for key in keys:
+            os.unlink(os.path.join(tmp_dir, _tmp_bin_name(key)))
     return buckets
 
 
@@ -311,14 +355,18 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                  nbuckets: int = 1000, use_device: bool | None = None,
                  aligner: WavefrontAligner | None = None,
                  jobs: int = 1, quiet: bool = True,
-                 force: bool = False) -> dict[str, str]:
+                 force: bool = False,
+                 wgac: str | None = None) -> dict[str, str]:
     """Full pipeline on one host; returns paths of the stage outputs.
 
     ``quiet=False`` reports per-stage wall times and the seed-funnel
     counters on stderr (the reference's section timers + fail report,
     common.h:49-54 / search_main.cc:186-193).  Completed stages are
     resumed from their ``.ok`` sentinel files like the reference driver
-    (sedef.sh:129-240) unless ``force``."""
+    (sedef.sh:129-240) unless ``force``.  ``wgac`` (a WGAC tab file)
+    additionally runs the per-SD overlap accounting and the per-base
+    coverage diff after final.bed, like ``sedef.sh -w``
+    (sedef.sh:246-257), writing ``wgac.report``."""
     os.makedirs(out_dir, exist_ok=True)
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
@@ -387,7 +435,8 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         _eprn(f"[align]  resumed  {len(aligned)} alignments", quiet)
     else:
         t0 = time.time()
-        buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
+        buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg,
+                               tmp_dir=os.path.join(out_dir, "align_tmp"))
         _eprn(f"[bucket] {time.time() - t0:8.1f}s  "
               f"{sum(len(b) for b in buckets)} regions", quiet)
 
@@ -417,5 +466,19 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
             f.write(reporter.HEADER + "\n")
             f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
         open(_ok("final"), "w").close()
-    return {"seeds": seeds_path, "aligned": aligned_path,
-            "final": final_path}
+    paths = {"seeds": seeds_path, "aligned": aligned_path,
+             "final": final_path}
+    if wgac:
+        from .evaluate import check_overlap, diff
+        t0 = time.time()
+        final_lines = open(final_path).read().splitlines()
+        wgac_lines = open(wgac).read().splitlines()
+        ov = check_overlap(final_lines, wgac_lines)
+        dv = diff(fr, final_lines, wgac_lines)
+        report_path = os.path.join(out_dir, "wgac.report")
+        with open(report_path, "w") as f:
+            f.write(ov.report() + "\n" + dv.report() + "\n")
+        _eprn(f"[wgac]   {time.time() - t0:8.1f}s  report in "
+              f"{report_path}", quiet)
+        paths["wgac"] = report_path
+    return paths

@@ -74,8 +74,9 @@ def build_multichip_step(mesh: Mesh, S_q: int, S_t: int,
     """The full sharded compute step: q-gram gate -> wavefront DP ->
     collective funnel reduction.  Inputs are globally shaped
     (P_pairs, D_data, B, ...) and sharded over the first two axes."""
+    on_tpu = jax.default_backend() not in ("cpu",)
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = on_tpu
     n_rows = S_q + S_t - 1
 
     def local_step(qcodes, tgt, win_a, win_b, minqg):
@@ -89,7 +90,10 @@ def build_multichip_step(mesh: Mesh, S_q: int, S_t: int,
         passed = qg >= minqg.reshape(())
 
         if use_pallas:
-            p = wavefront_device(qcodes, tgt, S_q, S_t)
+            # interpret mode on CPU meshes: the production Pallas path
+            # stays CI-covered without TPU hardware
+            p = wavefront_device(qcodes, tgt, S_q, S_t,
+                                 interpret=not on_tpu)
         else:
             p = wavefront_scan_batch(qcodes, tgt, S_q, S_t)
         p = p[:, :n_rows]
@@ -132,7 +136,8 @@ class MeshAligner:
     """
 
     def __init__(self, mesh: Mesh | None = None, cfg=None,
-                 use_tpu: bool | None = None):
+                 use_tpu: bool | None = None,
+                 use_pallas: bool | None = None):
         from ..config import DEFAULT
         from ..ops.wavefront import WavefrontAligner
         if mesh is None:
@@ -142,6 +147,10 @@ class MeshAligner:
         self.base = WavefrontAligner(cfg or DEFAULT, use_tpu=use_tpu)
         self.cfg = self.base.cfg
         self.ndev = int(np.prod(mesh.devices.shape))
+        # None: Pallas fill+traceback on TPU meshes, scan fill on CPU.
+        # True on a CPU mesh runs the Pallas path in interpret mode
+        # (CI coverage of the production multi-chip kernels).
+        self.use_pallas = use_pallas
 
     def align_strings(self, a: str, b: str):
         max_len = self.cfg.align.max_ksw_seq_len
@@ -193,10 +202,11 @@ class MeshAligner:
 
         from jax.experimental.shard_map import shard_map
         on_tpu = jax.default_backend() not in ("cpu",)
+        use_pallas = on_tpu if self.use_pallas is None else self.use_pallas
         shard = NamedSharding(self.mesh, P("data"))
         from ..ops.dna import WILDCARD
         for (S_q, S_t), idxs in groups.items():
-            if on_tpu:  # pragma: no cover - needs a multi-chip TPU
+            if use_pallas:
                 from ..ops.wavefront import (_lane_groups, _sublane_pack,
                                              cigar_from_packed_ops,
                                              wavefront_cigar_device)
@@ -218,7 +228,7 @@ class MeshAligner:
                     partial(wavefront_cigar_device, S_q=S_q, S_t=S_t,
                             match=self.base.match, mis=self.base.mis,
                             gapo=self.base.gapo, gape=self.base.gape,
-                            G=G, SUB=SUB),
+                            G=G, SUB=SUB, interpret=not on_tpu),
                     mesh=self.mesh,
                     in_specs=(P("data"), P("data"), P("data"), P("data")),
                     out_specs=P("data"), check_rep=False)

@@ -182,3 +182,45 @@ def test_mesh_aligner_matches_single_device():
     mesh_al = MeshAligner(mesh, use_tpu=False)
     single = WavefrontAligner(use_tpu=False)
     assert mesh_al.align_batch(pairs) == single.align_batch(pairs)
+
+
+def test_mesh_aligner_pallas_interpret_matches_single():
+    """The PRODUCTION multi-chip path — shard_map(wavefront_cigar_device),
+    the Pallas fill + traceback per shard — runs under interpret mode on
+    the CPU mesh and must produce the exact single-device CIGARs (the TPU
+    branch of MeshAligner.align_batch, previously uncovered)."""
+    import jax
+    import numpy as np
+
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    from sedef_tpu.parallel.mesh import MeshAligner
+
+    devs = jax.devices()
+    assert len(devs) >= 8
+    mesh = jax.make_mesh((8,), ("data",), devices=devs[:8])
+    rng = np.random.default_rng(9)
+    pairs = []
+    for _ in range(17):  # small + odd: interpret mode is slow
+        L = int(rng.integers(90, 128))
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.12
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        pairs.append((q, t[:int(rng.integers(80, L + 1))]))
+    mesh_al = MeshAligner(mesh, use_tpu=False, use_pallas=True)
+    single = WavefrontAligner(use_tpu=False)
+    assert mesh_al.align_batch(pairs) == single.align_batch(pairs)
+
+
+def test_multichip_step_pallas_interpret_matches_scan():
+    """The TPU selection inside build_multichip_step (Pallas fill under
+    shard_map) runs interpreted on the CPU mesh; its direction rows must
+    equal the scan variant's on the shared n_diag prefix."""
+    mesh = make_mesh(8)
+    args = example_inputs(mesh)
+    sp = build_multichip_step(mesh, S_q=128, S_t=128, use_pallas=True)
+    ss = build_multichip_step(mesh, S_q=128, S_t=128, use_pallas=False)
+    pp_, *rest_p = sp(*args)
+    ps_, *rest_s = ss(*args)
+    assert np.array_equal(np.asarray(pp_), np.asarray(ps_))
+    assert int(rest_p[2]) == int(rest_s[2])  # total

@@ -118,3 +118,56 @@ def test_simulation_accuracy(error):
                                        max_len=6000)
         results.append(classify_pair(s1, s2, error, aligner=al))
     assert results.count("hit") >= 4, results
+
+
+def test_bucket_stage_spill_matches_memory(tmp_path):
+    """Disk-spill bucket mode (align_main.cc:89-106) must produce exactly
+    the in-memory result, including at >= 10 super-bins where the
+    reference's lexicographic tmp-filename order diverges from numeric
+    (bi, bj) order."""
+    from sedef_tpu.config import DEFAULT
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models import pipeline as pl
+
+    rng = np.random.default_rng(3)
+    # 12 small chromosomes -> 12 super-bins with max_size=1
+    chroms = {}
+    seed_lines = []
+    core = "".join(rng.choice(np.array(list("ACGT")), 1200))
+    for ci in range(12):
+        name = f"chr{ci + 1}"
+        bg = "".join(rng.choice(np.array(list("acgt")), 4000))
+        chroms[name] = bg[:1500] + core + bg[1500:]
+    fa = tmp_path / "multi.fa"
+    with open(fa, "w") as f:
+        for name, seq in chroms.items():
+            f.write(f">{name}\n{seq}\n")
+    fr = FastaReference(str(fa))
+    bins = generate_translation(fr, max_size=1)
+    assert len(bins) >= 10, "test needs >= 10 super-bins"
+    names = list(chroms)
+    for a in range(len(names)):
+        for b in range(a, len(names)):
+            s = int(rng.integers(1500, 1800))
+            seed_lines.append(
+                f"{names[a]}\t{s}\t{s + 900}\t{names[b]}\t1500\t2400\t"
+                f"S\t0\t+\t+\t900\tOK")
+
+    mem = pl.bucket_stage(list(seed_lines), fr, bins, 7, DEFAULT)
+    spill = pl.bucket_stage(iter(seed_lines), fr, bins, 7, DEFAULT,
+                            tmp_dir=str(tmp_path / "spill"))
+    assert mem == spill
+    assert sum(len(b) for b in mem) > 0
+    # tmp files are cleaned up
+    import glob as _g
+    assert not _g.glob(str(tmp_path / "spill" / "tmp_*"))
+
+
+def test_bucket_stage_lexicographic_bin_order():
+    """Key iteration follows the reference's map<string, FILE*> order:
+    ASCII '0' < '_', so tmp_10_0.tmp sorts before tmp_1_2.tmp, which
+    sorts before tmp_2_0.tmp."""
+    from sedef_tpu.models.pipeline import _tmp_bin_name
+    keys = [(2, 0), (10, 0), (1, 11), (1, 2)]
+    ordered = sorted(keys, key=_tmp_bin_name)
+    assert ordered == [(10, 0), (1, 11), (1, 2), (2, 0)]
