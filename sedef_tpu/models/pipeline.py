@@ -116,32 +116,68 @@ def search_job(fr: FastaReference, query_chrs: list[str],
 
 def search_stage(fr: FastaReference, bins: list[list[str]],
                  cfg: Config = DEFAULT, use_device: bool | None = None,
-                 progress=None, jobs: int = 1) -> list[str]:
+                 progress=None, jobs: int = 1,
+                 device_assignment: list | None = None,
+                 cache: "IndexCache | None" = None) -> list[str]:
     """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
 
     ``jobs > 1`` fans the independent pair jobs over a thread pool (the
     GNU-Parallel equivalent; the native search core releases the GIL, so
     threads scale like the reference's processes without duplicating the
-    genome per worker).  Output order stays deterministic."""
+    genome per worker).  Output order stays deterministic.
+    ``device_assignment`` (out-param) receives the per-job device index
+    chosen by the multi-chip schedule."""
     nbins = len(bins)
     todo = [(i, j, is_rc)
             for j in range(nbins)
             for i in range(j, nbins)
             for is_rc in (False, True)]
-    cache = IndexCache(fr, cfg, use_device)
+    if cache is None:
+        cache = IndexCache(fr, cfg, use_device)
 
-    def timed(t):
+    # multi-chip stage 1: pair jobs are assigned to local devices by a
+    # longest-processing-time-first schedule on the |bin_i| x |bin_j|
+    # cost model (the align stage's complexity model applied to seeding),
+    # so -j threads drive every chip concurrently with balanced load
+    # (index builds and prefilter batches run under each job's default
+    # device; device_arrays caches per chip).  The reference's analog is
+    # one PROCESS per pair job under GNU Parallel (sedef.sh:133-140);
+    # here the chip is the parallel resource.
+    devices = []
+    if cache.use_device:
+        import jax
+        devices = list(jax.devices())
+    rotate = len(devices) > 1
+    device_of = [0] * len(todo)
+    if rotate:
+        sizes = [sum(fr.length(c) for c in b) for b in bins]
+        cost = [float(sizes[t[0]]) * float(sizes[t[1]]) for t in todo]
+        loads = [0.0] * len(devices)
+        for k in sorted(range(len(todo)), key=lambda k: -cost[k]):
+            d = min(range(len(devices)), key=loads.__getitem__)
+            device_of[k] = d
+            loads[d] += cost[k]
+    if device_assignment is not None:
+        device_assignment.extend(device_of)
+
+    def timed(t, job_idx=0):
         t0 = time.time()
-        out = search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
-                         use_device, cache)
+        if rotate:
+            import jax
+            with jax.default_device(devices[device_of[job_idx]]):
+                out = search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
+                                 use_device, cache)
+        else:
+            out = search_job(fr, bins[t[0]], bins[t[1]], t[2], cfg,
+                             use_device, cache)
         return out, time.time() - t0
 
     if jobs <= 1:
-        results = [timed(t) for t in todo]
+        results = [timed(t, k) for k, t in enumerate(todo)]
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            results = list(ex.map(timed, todo))
+            results = list(ex.map(timed, todo, range(len(todo))))
     lines: list[str] = []
     for (i, j, is_rc), (job, dt) in zip(todo, results):
         lines.extend(job)

@@ -78,16 +78,26 @@ class MinimizerIndex:
 
     def device_arrays(self):
         """(keys int32, locs int32) as device-resident jax arrays for the
-        roll engine (lazy upload; packed keys fit int32 for k <= 14).
+        roll engine / prefilter (lazy upload; packed keys fit int32 for
+        k <= 14).
 
         Padded to the geometric size ladder so kernel shapes recur across
         chromosome pairs (each distinct array length would otherwise be a
         fresh XLA compile).  Pad loci are INT32_MAX: every consumer guards
-        with the true minimizer count."""
-        dev = getattr(self, "_dev", None)
-        if dev is None:
-            import jax
+        with the true minimizer count.
 
+        Cached PER TARGET DEVICE: under a ``jax.default_device`` context
+        (the stage-1 multi-chip job rotation, models/pipeline.py
+        search_stage) each chip gets its own copy, so pair jobs on
+        different chips never share committed arrays."""
+        import jax
+
+        dkey = getattr(jax.config, "jax_default_device", None)
+        cache = getattr(self, "_dev", None)
+        if cache is None:
+            cache = self._dev = {}
+        dev = cache.get(dkey)
+        if dev is None:
             n = len(self.keys)
             # pure power-of-two padding: the roll kernel recompiles per
             # distinct (nq, nr) array-shape pair, so keep the ladder coarse
@@ -99,7 +109,7 @@ class MinimizerIndex:
                 keys = np.concatenate([keys, fill])
                 locs = np.concatenate([locs, fill])
             dev = (jax.device_put(keys), jax.device_put(locs))
-            self._dev = dev
+            cache[dkey] = dev
         return dev
 
     def find_minimizers(self, p: int) -> int:

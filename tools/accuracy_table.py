@@ -1,14 +1,23 @@
-"""Simulation accuracy table (paper/output-rand.txt analog).
+"""Simulation accuracy table (paper/output-rand.txt / output-chr1.txt
+analogs).
 
 Usage: python tools/accuracy_table.py [runs_per_rate] [max_error]
-       [max_len] [--jobs=N]
+       [max_len] [--jobs=N] [--chr-analog]
 
 Matches the reference harness regime (simulations.py:320-344): SD pair
 lengths uniform in [1000, max_len] with max_len defaulting to the
 reference's 100,000 (a 20 Kbp cap oversamples the short+high-divergence
 corner where both engines lose sensitivity, and was the source of the
 round-1 98.5% vs >=99.3% gap), error rates 0..max_error, fanned over a
-process pool per rate (the reference uses Pool(32))."""
+process pool per rate (the reference uses Pool(32)).
+
+``--chr-analog`` is the output-chr1.txt analog (simulations.py:349
+``resultsTable(1000, seq=loadSeq('chr1.fa'))``): SD pairs are sliced from
+a fixed repeat-realistic simulated chromosome (hg19 chr1 itself is not
+available in this environment) instead of fresh random sequence, so
+seeding specificity is stressed by genuine repeat structure.  The
+reference uppercases all harness sequences before aligning
+(simulations.py:10-22), so the analog chromosome is uppercase too."""
 import os
 import pathlib
 import random
@@ -17,17 +26,30 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def chr_analog_sequence(length: int = 8_000_000) -> str:
+    """A fixed repeat-realistic chromosome: random background + planted
+    repeat families spanning the hg19-like divergence spectrum."""
+    from sedef_tpu.models.genome_sim import simulate_genome
+
+    chroms, _ = simulate_genome(length, 0, seed=101, n_chroms=1,
+                                repeat_families=60, repeat_copies=50,
+                                repeat_len=(300, 6000),
+                                repeat_div=(0.02, 0.40))
+    return "".join(chroms.values()).upper()
+
+
 def one_rate(args):
-    error, runs, max_len = args
+    error, runs, max_len, chr_analog = args
     import jax
     jax.config.update("jax_platforms", "cpu")
     from sedef_tpu.models.simulate import classify_pair, generate_random_sd
     from sedef_tpu.ops.wavefront import WavefrontAligner
     al = WavefrontAligner(use_tpu=False)
+    seq = chr_analog_sequence() if chr_analog else None
     rng = random.Random(1000 + error)
     out = {"hit": 0, "miss": 0, "partial": 0}
     for _ in range(runs):
-        s1, s2, _ = generate_random_sd(rng, error, min_len=1000,
+        s1, s2, _ = generate_random_sd(rng, error, seq=seq, min_len=1000,
                                        max_len=max_len)
         out[classify_pair(s1, s2, error, aligner=al)] += 1
     return error, out
@@ -39,11 +61,22 @@ def main():
     max_err = int(args[1]) if len(args) > 1 else 30
     max_len = int(args[2]) if len(args) > 2 else 100_000
     jobs = os.cpu_count() or 2
+    chr_analog = "--chr-analog" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--jobs="):
             jobs = int(a.split("=")[1])
 
-    work = [(e, runs, max_len) for e in range(0, max_err + 1)]
+    rates = list(range(0, max_err + 1))
+    # interleave low/high rates so a partially-complete long run still
+    # covers the whole divergence spectrum
+    order = []
+    lo, hi = 0, len(rates) - 1
+    while lo <= hi:
+        order.append(rates[lo])
+        if hi != lo:
+            order.append(rates[hi])
+        lo, hi = lo + 1, hi - 1
+    work = [(e, runs, max_len, chr_analog) for e in order]
     print("error;hits;misses;partials", flush=True)
     if jobs > 1:
         from concurrent.futures import ProcessPoolExecutor
