@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: batched anti-diagonal wavefront DP throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Metric: effective GCUPS (LxL useful cells / second) of the alignment
 direction-matrix fill, SEDEF scoring (5/-4/40/1), full band, traceback
 matrix streamed to HBM — the equivalent of the reference's
-ksw2_extz2_sse hot kernel (extern/ksw2_extz2_sse.cc).
+ksw2_extz2_sse hot kernel (extern/ksw2_extz2_sse.cc).  Value = MEDIAN of
+BENCH_REPS chained invocations; min/max recorded in extra for variance.
 
 Methodology: N kernel invocations are CHAINED inside one jit with a
 data dependency and an in-graph checksum, so (a) the kernels cannot be
@@ -17,14 +18,25 @@ dispatch-loop timing inflates the number ~300x on this environment.
 Baseline: 1.17 GCUPS = reference ksw2 extz2_sse measured single-core on
 this machine (L=1024 global alignments with traceback, -O3 -msse4.1; see
 tools/oracles/ksw_bench.cc).
+
+extra rows (fixed, machine-checked workload specs so rounds compare
+without prose):
+  e2e_*      — end-to-end pipeline on sim(20 Mbp, 4 chroms, fams=20,
+               copies=40, seed=7), jobs=2 (BASELINE metric #2 stand-in)
+  prefilter_* — stage-1 host-roll time with the device roll prefilter
+               off vs on, on the roll-bound workload sim(4 Mbp, 2
+               chroms, fams=8, copies=250, seed=11) — the VERDICT r2
+               "ROLL drops >=5x" criterion, measured every round
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
 
 KSW2_SINGLE_CORE_GCUPS = 1.17
+BENCH_REPS = 5
 
 # reference seed stage: ~8.8 s/Mbp-core (hg19 7h33m single core, preprint
 # Table 1) => on the e2e workload below (20 Mbp, 4 chroms, 20 pair jobs)
@@ -57,7 +69,8 @@ def e2e_metrics() -> dict:
     t0 = time.perf_counter()
     seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
     t_search = time.perf_counter() - t0
-    buckets = pl.bucket_stage(seeds, fr, bins, 16, DEFAULT)
+    buckets = pl.bucket_stage(seeds, fr, bins, 16, DEFAULT,
+                              tmp_dir=tmp + "/bucket_tmp")
     flat = [line for b in buckets for line in b]
     aligned = pl.canonical_sort_uniq(
         pl.align_stage(flat, fr, DEFAULT, WavefrontAligner(), jobs=2))
@@ -67,6 +80,7 @@ def e2e_metrics() -> dict:
     rec = recall_of(final, planted)
     pair_jobs_per_hour = n_jobs / (t_search / 3600.0)
     return {
+        "e2e_spec": "sim(20Mbp,4chr,fams20,copies40,seed7),jobs=2",
         "e2e_20mbp_s": round(t_e2e, 1),
         "stage1_20mbp_s": round(t_search, 1),
         "pair_jobs_per_hour": round(pair_jobs_per_hour),
@@ -76,18 +90,67 @@ def e2e_metrics() -> dict:
     }
 
 
+def prefilter_metrics() -> dict:
+    """Stage-1 roll prefilter effect on a roll-bound dense-repeat genome:
+    host-roll ns and executed roll steps, prefilter off vs on."""
+    import tempfile
+
+    from sedef_tpu.config import DEFAULT
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models import pipeline as pl
+    from sedef_tpu.models import seeder
+    from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
+    from sedef_tpu.native import lib as native
+
+    if not native.has("search_plan"):  # pragma: no cover
+        return {}
+    chroms, _ = simulate_genome(4_000_000, 5, seed=11, n_chroms=2,
+                                repeat_families=8, repeat_copies=250,
+                                repeat_len=(600, 1200),
+                                repeat_div=(0.10, 0.35))
+    tmp = tempfile.mkdtemp()
+    fa = tmp + "/dense.fa"
+    write_fasta(fa, chroms)
+    out = {"prefilter_spec":
+           "sim(4Mbp,2chr,fams8,copies250,seed11),jobs=2"}
+    old = seeder.PREFILTER_ON, seeder.PREFILTER_MIN_STEPS
+    try:
+        for label, pf in (("off", False), ("on", True)):
+            seeder.PREFILTER_ON = pf
+            seeder.PREFILTER_MIN_STEPS = 0
+            fr = FastaReference(fa)
+            bins = generate_translation(fr)
+            native.prof_reset()
+            t0 = time.perf_counter()
+            seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
+            dt = time.perf_counter() - t0
+            prof = native.prof_get()
+            out[f"prefilter_{label}_stage1_s"] = round(dt, 1)
+            out[f"prefilter_{label}_roll_s"] = round(prof["roll"] / 1e9, 2)
+            out[f"prefilter_{label}_roll_steps"] = int(prof["roll_steps"])
+            out[f"prefilter_{label}_seeds"] = len(seeds)
+    finally:
+        seeder.PREFILTER_ON, seeder.PREFILTER_MIN_STEPS = old
+    if out.get("prefilter_off_roll_s", 0) > 0:
+        out["prefilter_roll_speedup"] = round(
+            out["prefilter_off_roll_s"]
+            / max(out["prefilter_on_roll_s"], 0.01), 1)
+    return out
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from sedef_tpu.debug import enable_compilation_cache
     from sedef_tpu.ops.wavefront import (_pipe_geometry,
                                          wavefront_pipelined_batch,
                                          wavefront_scan_batch)
 
+    enable_compilation_cache()
     on_tpu = jax.default_backend() not in ("cpu",)
     L = 1024
     rng = np.random.default_rng(0)
-    reps = 2
     if on_tpu:
         # production fill: the pipelined (streamed) kernel — K problems
         # per stream staggered by S_q rows so the rotated rectangle's
@@ -134,21 +197,28 @@ def main() -> None:
 
     int(run_chain(*args))  # warmup / compile
 
-    t0 = time.perf_counter()
-    acc = 0
-    for _ in range(reps):
-        acc += int(run_chain(*args))
-    dt = time.perf_counter() - t0
-    assert acc != 0
-
-    cells = cells_per_call * N * reps
-    gcups = cells / dt / 1e9
-    extra = {}
+    samples = []
+    for _ in range(BENCH_REPS):
+        t0 = time.perf_counter()
+        acc = int(run_chain(*args))
+        dt = time.perf_counter() - t0
+        assert acc != 0
+        samples.append(cells_per_call * N / dt / 1e9)
+    gcups = statistics.median(samples)
+    extra = {
+        "gcups_reps": BENCH_REPS,
+        "gcups_min": round(min(samples), 1),
+        "gcups_max": round(max(samples), 1),
+    }
     if on_tpu:
         try:
-            extra = e2e_metrics()
+            extra.update(e2e_metrics())
         except Exception as e:  # pragma: no cover - keep the headline alive
-            extra = {"e2e_error": str(e)[:120]}
+            extra["e2e_error"] = str(e)[:120]
+        try:
+            extra.update(prefilter_metrics())
+        except Exception as e:  # pragma: no cover
+            extra["prefilter_error"] = str(e)[:120]
     print(json.dumps({
         "metric": "wavefront_dp_gcups" + ("" if on_tpu else "_cpu_fallback"),
         "value": round(gcups, 3),

@@ -175,8 +175,15 @@ class RollPrefilter:
         n_steps = np.asarray(n_steps, np.int64)
 
         # ---- per-interval query sketches (one dispatch) ----
+        # pow2-pad the interval axis: each distinct shape is a fresh XLA
+        # compile through this environment's remote compile service
+        n_pad = max(1 << max(n - 1, 1).bit_length(), 1 << 10)
+        qws_p = np.zeros(n_pad, np.int32)
+        qwe_p = np.zeros(n_pad, np.int32)
+        qws_p[:n] = qws
+        qwe_p[:n] = qwe
         qk_all, s_all, limit, qovf = _window_sketches(
-            q_keys_dev, jnp.asarray(qws), jnp.asarray(qwe),
+            q_keys_dev, jnp.asarray(qws_p), jnp.asarray(qwe_p),
             self.limit_lut, SQ=self.SQ)
 
         # ---- composition rows: every distinct window the roll visits
@@ -227,9 +234,10 @@ class RollPrefilter:
             vals = np.asarray(out)[:m].astype(np.int64)
             np.maximum.at(ideal_max, row_iv[part], vals)
 
-        limit = np.asarray(limit).astype(np.int64)
-        qovf = np.asarray(qovf)
-        verdict = (~qovf) & (np.asarray(s_all) > 0) & (ideal_max < limit)
+        limit = np.asarray(limit)[:n].astype(np.int64)
+        qovf = np.asarray(qovf)[:n]
+        verdict = ((~qovf) & (np.asarray(s_all)[:n] > 0)
+                   & (ideal_max < limit))
         bj[verdict] = -1
         ok[:] = verdict
         return bj, bs, ok

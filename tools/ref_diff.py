@@ -122,25 +122,43 @@ def rows_of(path: str) -> list[str]:
 
 
 def main():
+    # correctness harness: force the CPU backend (deterministic, and
+    # independent of TPU tunnel health) unless --tpu is passed
+    if "--tpu" not in sys.argv:
+        os.environ.setdefault("SEDEF_NO_DEVICE", "1")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     length = int(args[0]) if args else 50_000_000
     n_sds = int(args[1]) if len(args) > 1 else 40
     seed = 11
     nbuckets = 64
+    fams, copies, jobs = 20, 30, 2
+    n_chroms = None
     for a in sys.argv[1:]:
         if a.startswith("--seed="):
             seed = int(a.split("=")[1])
         if a.startswith("--nbuckets="):
             nbuckets = int(a.split("=")[1])
+        if a.startswith("--fams="):
+            fams = int(a.split("=")[1])
+        if a.startswith("--copies="):
+            copies = int(a.split("=")[1])
+        if a.startswith("--chroms="):
+            n_chroms = int(a.split("=")[1])
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=")[1])
     repeats = "--repeats" in sys.argv
 
     from sedef_tpu.io.fasta import write_fai
     from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
     from sedef_tpu.models.pipeline import run_pipeline
 
-    kw = dict(repeat_families=20, repeat_copies=30) if repeats else {}
+    kw = dict(repeat_families=fams, repeat_copies=copies) if repeats else {}
+    if n_chroms is None:
+        n_chroms = max(2, length // 12_000_000)
     chroms, planted = simulate_genome(
-        length, n_sds, n_chroms=max(2, length // 12_000_000), seed=seed,
+        length, n_sds, n_chroms=n_chroms, seed=seed,
         n_run_every=997_000, **kw)
     work = tempfile.mkdtemp(prefix="refdiff_")
     fa = f"{work}/genome.fa"
@@ -151,10 +169,10 @@ def main():
           f"{len(planted)} SDs, work={work}", flush=True)
 
     build_refbin()
-    run_reference(fa, f"{work}/ref", nbuckets)
+    run_reference(fa, f"{work}/ref", nbuckets, jobs=jobs)
 
     t0 = time.time()
-    ours = run_pipeline(fa, f"{work}/ours", nbuckets=nbuckets, jobs=2,
+    ours = run_pipeline(fa, f"{work}/ours", nbuckets=nbuckets, jobs=jobs,
                         quiet=False)
     print(f"ours total: {time.time()-t0:.1f}s", flush=True)
 
