@@ -665,7 +665,6 @@ def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
         # top-boundary gap open: 0 only for each problem's very first row
         # (it fires at lane == r' and r' == lane there)
         bq_vec = jnp.where(lane == 0, 0, gapo)
-        wpad = jnp.full((SUB, W - 128), WILDCARD, jnp.int32)
 
         def row(sr, rr, st):
             u0, v0, x0, y0, qrow0, tq0 = st
@@ -675,13 +674,15 @@ def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
             onr = lane_mod == srm
             for i in range(n_i):
                 tval = jnp.broadcast_to(blk[:, 1 + i:2 + i], (SUB, W))
-                tq0 = jnp.where(onr & (lane == srm + i * S_q), tval, tq0)
-            twild = tq0 >= 4
-            # query code enters at lane 0
-            qpad = blk if W == 128 else jnp.concatenate([blk, wpad], axis=1)
-            qrow = jnp.where(lmask, qpad, pltpu.roll(qrow0, 1, axis=1))
-            wild = jnp.logical_or(qrow >= 4, twild)
-            sc = jnp.where(wild, 0, jnp.where(qrow == tq0, match, mis))
+                # for the first front the (lane == srm) test IS onr when
+                # the lane plane is exactly one problem wide
+                cond = onr if (i == 0 and W == S_q) \
+                    else onr & (lane == srm + i * S_q)
+                tq0 = jnp.where(cond, tval, tq0)
+            # query code enters at lane 0 (only lane 0 of the where is
+            # ever taken, so a column broadcast replaces the wpad concat)
+            qin = jnp.broadcast_to(blk[:, :1], (SUB, W))
+            qrow = jnp.where(lmask, qin, pltpu.roll(qrow0, 1, axis=1))
 
             ub = jnp.where(onr, bq_vec, u0)
             yb = jnp.where(onr, 0, y0)
@@ -689,7 +690,9 @@ def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
             xs = jnp.where(lmask, 0, pltpu.roll(x0, 1, axis=1))
             vs = jnp.where(lmask, v1, pltpu.roll(v0, 1, axis=1))
 
-            z = sc + qe2
+            # z = score + qe2 folded into one select tree
+            z = jnp.where(jnp.logical_or(qrow >= 4, tq0 >= 4), qe2,
+                          jnp.where(qrow == tq0, match + qe2, mis + qe2))
             a = xs + vs
             b = yb + ub
             d = (a > z).astype(jnp.int32)

@@ -235,3 +235,41 @@ def test_pipelined_matches_numpy_interpret():
         got = cigar_from_packed_ops(ops[b], len(q), len(t))
         p, _ = wavefront_np(q, t)
         assert got == backtrack_np(p, len(q), len(t)), b
+
+
+def test_pipelined_asymmetric_matches_numpy_interpret():
+    """S_t > S_q: multiple growth fronts per stream (n_i > 1) exercise
+    the per-front target-switch lanes (lane == srm + i*S_q)."""
+    import jax.numpy as jnp
+
+    from sedef_tpu.ops.wavefront import (backtrack_np,
+                                         cigar_from_packed_ops,
+                                         wavefront_cigar_pipelined,
+                                         wavefront_np)
+    rng = np.random.default_rng(21)
+    S_q, S_t, K, SUB = 128, 256, 2, 8
+    B = SUB * K
+    qs = np.full((B, S_q), 4, np.int8)
+    ts = np.full((B, S_t), 4, np.int8)
+    qls = np.zeros(B, np.int32)
+    tls = np.zeros(B, np.int32)
+    pairs = []
+    for b in range(B):
+        ql = int(rng.integers(70, S_q + 1))
+        tl = int(rng.integers(150, S_t + 1))
+        t = rng.integers(0, 4, tl).astype(np.int8)
+        q = t[:ql].copy()
+        m = rng.random(ql) < 0.12
+        q[m] = (q[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        pairs.append((q, t))
+        qs[b, :ql] = q
+        ts[b, :tl] = t
+        qls[b] = ql
+        tls[b] = tl
+    ops = np.asarray(wavefront_cigar_pipelined(
+        jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qls),
+        jnp.asarray(tls), S_q, S_t, K, SUB=SUB, interpret=True))
+    for b, (q, t) in enumerate(pairs):
+        got = cigar_from_packed_ops(ops[b], len(q), len(t))
+        p, _ = wavefront_np(q, t)
+        assert got == backtrack_np(p, len(q), len(t)), b
