@@ -10,9 +10,12 @@ of keys present in both sets among the |Q| smallest of the union.  The
 reference's incremental structure drifts from that ideal through its
 boundary-add quirk (a ref bit landing exactly on the boundary element is
 not counted, sliding.cc:86), making its value path-dependent on insertion
-order.  The exact engine therefore remains the host native core; this op
-is the device prefilter/bulk scorer (ideal >= reference value in the
-common build-up case), with margins applied by callers.
+order — and that drift is one-sided (missed increments only), so the
+ideal bounds the reference's counter from above.  This is the core
+reduction of the PRODUCTION stage-1 roll prefilter
+(ops/prefilter.py::_composition_ideals): intervals whose maximum ideal
+over all window compositions is below the relaxed Jaccard cutoff are
+proven to fail the gate and never rolled on host.
 """
 
 from __future__ import annotations

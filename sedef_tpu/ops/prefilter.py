@@ -116,16 +116,10 @@ def _composition_ideals(r_keys, r_locs, qk_all, s_all, rs, iv_id,
     qk = jnp.take(qk_all, iv_id, axis=0)          # (N, SQ)
     s = jnp.take(s_all, iv_id)
 
-    # ideal = |{k in Q ∩ R : rank_union(k) < s}| (jaccard_batch.py:43-56)
-    pos = jax.vmap(jnp.searchsorted)(keys_w, qk).astype(jnp.int32)
-    member = (jnp.take_along_axis(keys_w, jnp.minimum(pos, RW - 1), axis=1)
-              == qk) & (qk != INF32)
-    common_below = jnp.concatenate(
-        [jnp.zeros((N, 1), jnp.int32),
-         jnp.cumsum(member.astype(jnp.int32), axis=1)], axis=1)[:, :-1]
-    qidx = jax.lax.broadcasted_iota(jnp.int32, member.shape, 1)
-    rank = qidx + pos - common_below
-    ideal = jnp.sum(member & (rank < s[:, None]), axis=1).astype(jnp.int32)
+    # ideal = |{k in Q ∩ R : rank_union(k) < s}| — the canonical batched
+    # union-rank reduction (ops/jaccard_batch.py sketch_intersection)
+    from .jaccard_batch import sketch_intersection
+    ideal = sketch_intersection(qk, keys_w, s, s)
     return jnp.where(ovf, INF32, ideal)
 
 
