@@ -101,16 +101,31 @@ def search_job(fr: FastaReference, query_chrs: list[str],
     ``report_fails`` adds diagnostic rows for gate-rejected windows."""
     if cache is None:
         cache = IndexCache(fr, cfg, use_device)
-    lines: list[str] = []
+    pairs = []
     for r in ref_chrs:
         rh = cache.get(r, is_rc)
         for q in query_chrs:
             qh = cache.get(q, False)
-            same_genome = (q == r) and not is_rc
-            hits = initial_search(qh, rh, same_genome, cfg,
-                                  report_fails=report_fails,
-                                  use_device=cache.use_device)
-            lines.extend(h.to_bed() for h in hits)
+            pairs.append((qh, rh, (q == r) and not is_rc))
+
+    # two-phase device overlap: plan + LAUNCH the prefilter dispatches for
+    # every chromosome pair first (prepare_device_search is async), then
+    # collect + search in order — pair k's ~30 ms tunnel round trips run
+    # under pair k+1's host planning and pair k-1's native search instead
+    # of serializing with them
+    prepared = [None] * len(pairs)
+    if cache.use_device and not report_fails:
+        from .seeder import prepare_device_search
+        prepared = [prepare_device_search(qh, rh, sg, cfg,
+                                          use_device=cache.use_device)
+                    for qh, rh, sg in pairs]
+
+    lines: list[str] = []
+    for (qh, rh, same_genome), prep in zip(pairs, prepared):
+        hits = initial_search(qh, rh, same_genome, cfg,
+                              report_fails=report_fails,
+                              use_device=cache.use_device, prepared=prep)
+        lines.extend(h.to_bed() for h in hits)
     return lines
 
 

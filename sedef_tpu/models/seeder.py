@@ -471,12 +471,13 @@ _ROLL_ENGINES: dict = {}
 _PREFILTERS: dict = {}
 
 
-def _device_prefilter_results(query_hash: MinimizerIndex,
-                              ref_hash: MinimizerIndex, plan, cfg: Config):
-    """Batched roll-fail proofs for a speculative plan (native
-    sedef_search_plan).  Returns (best_j, best_steps, ok) in the native
-    results contract: intervals with ok and best_j < 0 are proven Jaccard
-    fails (skipped without rolling); ok=False intervals roll on host."""
+def _device_prefilter_dispatch(query_hash: MinimizerIndex,
+                               ref_hash: MinimizerIndex, plan, cfg: Config):
+    """Launch (async) the batched roll-fail proofs for a speculative plan
+    (native sedef_search_plan).  The returned PendingPrefilter's
+    ``collect()`` yields (best_j, best_steps, ok) in the native results
+    contract: intervals with ok and best_j < 0 are proven Jaccard fails
+    (skipped without rolling); ok=False intervals roll on host."""
     import numpy as np
 
     from ..ops.prefilter import RollPrefilter
@@ -492,9 +493,16 @@ def _device_prefilter_results(query_hash: MinimizerIndex,
     qk, _ = query_hash.device_arrays()
     rk, rl = ref_hash.device_arrays()
     woff = np.repeat(np.arange(len(win)), win[:, 3])
-    return pf.run(qk, rk, rl, ref_hash.locs,
-                  win[woff, 1], win[woff, 2],
-                  iv[:, 0], iv[:, 2], iv[:, 4])
+    return pf.dispatch(qk, rk, rl, ref_hash.locs,
+                       win[woff, 1], win[woff, 2],
+                       iv[:, 0], iv[:, 2], iv[:, 4])
+
+
+def _device_prefilter_results(query_hash: MinimizerIndex,
+                              ref_hash: MinimizerIndex, plan, cfg: Config):
+    """Blocking variant of :func:`_device_prefilter_dispatch`."""
+    return _device_prefilter_dispatch(query_hash, ref_hash, plan,
+                                      cfg).collect()
 
 
 def _device_roll_results(query_hash: MinimizerIndex,
@@ -525,11 +533,93 @@ def _device_roll_results(query_hash: MinimizerIndex,
                    iv[:, 5])
 
 
+class PreparedSearch:
+    """Phase-1 product of the native+device search: the speculative plan
+    plus the (possibly in-flight) device verdicts.  ``finish()`` blocks on
+    the device and returns (plan, results) for native ``sedef_search``."""
+
+    __slots__ = ("plan", "results", "pending", "mode", "_names", "_steps")
+
+    def __init__(self, plan, results, pending, mode, names, steps):
+        self.plan = plan
+        self.results = results
+        self.pending = pending
+        self.mode = mode
+        self._names = names
+        self._steps = steps
+
+    def finish(self):
+        if self.pending is not None:
+            self.results = self.pending.collect()
+            self.pending = None
+        from ..debug import dprn
+        dprn("[seeder] {} vs {}: plan {} windows / {} intervals, "
+             "{} roll steps -> {}{}",
+             self._names[0], self._names[1],
+             len(self.plan[0]) if self.plan is not None else 0,
+             self._steps[0], self._steps[1], self.mode,
+             " ({} pruned)".format(int(self.results[2].sum()))
+             if self.mode == "prefilter" else "")
+        return self.plan, self.results
+
+
+def prepare_device_search(query_hash: MinimizerIndex,
+                          ref_hash: MinimizerIndex, is_same_genome: bool,
+                          cfg: Config = DEFAULT,
+                          use_device: bool | None = None
+                          ) -> "PreparedSearch | None":
+    """Build the stage-1 speculative plan and LAUNCH the device prefilter
+    dispatches without blocking.  Callers (search_job) prepare every
+    chromosome pair of a pair job first, so each pair's ~30 ms tunnel
+    round trips overlap the host planning and native searching of the
+    others.  Returns None when the native+device path is inactive (the
+    caller falls back to the self-contained initial_search flow)."""
+    import os
+    if os.environ.get("SEDEF_NO_NATIVE", ""):
+        return None
+    try:
+        from ..native import lib as _native
+    except Exception:  # pragma: no cover
+        return None
+    if (_native is None or not _native.has("search")
+            or not _native.has("search_plan")):
+        return None  # pragma: no cover
+    if use_device is None:
+        from .pipeline import auto_device
+        use_device = auto_device()
+    if not use_device or cfg.search.kmer_size > 14:
+        return None
+
+    from ..ops.roll_engine import T_PAD_LADDER
+    plan = _native.search_plan(query_hash, ref_hash, is_same_genome, cfg)
+    steps = plan[1][:, 4]
+    total_steps = int(steps.sum())
+    names = (query_hash.seq.name, ref_hash.seq.name)
+    # the exact replay engine only pays off when explicitly enabled
+    # (SEDEF_ROLL_DEVICE_MIN_STEPS); it is capped by its T-class ladder
+    # AND k <= 13 (packed flag bits)
+    eligible = int(steps[steps <= T_PAD_LADDER[-1]].sum())
+    if (len(plan[1]) and cfg.search.kmer_size <= 13
+            and eligible >= ROLL_DEVICE_MIN):
+        results = _device_roll_results(query_hash, ref_hash, plan, cfg)
+        return PreparedSearch(plan, results, None, "device-roll", names,
+                              (len(steps), total_steps))
+    if (len(plan[1]) and PREFILTER_ON
+            and total_steps >= PREFILTER_MIN_STEPS):
+        pending = _device_prefilter_dispatch(query_hash, ref_hash, plan,
+                                             cfg)
+        return PreparedSearch(plan, None, pending, "prefilter", names,
+                              (len(steps), total_steps))
+    return PreparedSearch(None, None, None, "host", names,
+                          (len(steps), total_steps))
+
+
 def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                    is_same_genome: bool, cfg: Config = DEFAULT,
                    report=None, use_native: bool | None = None,
                    report_fails: bool = False,
-                   use_device: bool | None = None) -> list[Hit]:
+                   use_device: bool | None = None,
+                   prepared: "PreparedSearch | None" = None) -> list[Hit]:
     """search_main.cc:40-82 — the per-chromosome-pair driver.
 
     Dispatches to the C++ native core (native/native.cc sedef_search —
@@ -554,39 +644,12 @@ def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
         except Exception:  # pragma: no cover
             _native = None
         if _native is not None and _native.has("search"):
+            if prepared is None:
+                prepared = prepare_device_search(
+                    query_hash, ref_hash, is_same_genome, cfg, use_device)
             plan = results = None
-            if (use_device and cfg.search.kmer_size <= 14
-                    and _native.has("search_plan")):
-                plan = _native.search_plan(query_hash, ref_hash,
-                                           is_same_genome, cfg)
-                from ..debug import dprn
-                from ..ops.roll_engine import T_PAD_LADDER
-                steps = plan[1][:, 4]
-                total_steps = int(steps.sum())
-                # the exact replay engine only pays off when explicitly
-                # enabled (SEDEF_ROLL_DEVICE_MIN_STEPS); it is capped by
-                # its T-class ladder AND k <= 13 (packed flag bits)
-                eligible = int(steps[steps <= T_PAD_LADDER[-1]].sum())
-                if (len(plan[1]) and cfg.search.kmer_size <= 13
-                        and eligible >= ROLL_DEVICE_MIN):
-                    mode = "device-roll"
-                    results = _device_roll_results(query_hash, ref_hash,
-                                                   plan, cfg)
-                elif (len(plan[1]) and PREFILTER_ON
-                        and total_steps >= PREFILTER_MIN_STEPS):
-                    mode = "prefilter"
-                    results = _device_prefilter_results(
-                        query_hash, ref_hash, plan, cfg)
-                else:
-                    mode = "host"
-                    plan = None
-                dprn("[seeder] {} vs {}: plan {} windows / {} intervals, "
-                     "{} roll steps -> {}{}",
-                     query_hash.seq.name, ref_hash.seq.name,
-                     len(plan[0]) if plan is not None else 0,
-                     len(steps), total_steps, mode,
-                     " ({} pruned)".format(int(results[2].sum()))
-                     if mode == "prefilter" else "")
+            if prepared is not None:
+                plan, results = prepared.finish()
             rows = _native.search(query_hash, ref_hash, is_same_genome,
                                   cfg, plan=plan, results=results)
             qref = SeqRef(query_hash.seq.name, query_hash.seq.is_rc,

@@ -133,6 +133,39 @@ def _ragged_arange(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
             - np.repeat(off, counts) + np.repeat(starts, counts))
 
 
+class PendingPrefilter:
+    """In-flight prefilter verdicts: the device dispatches are launched
+    (async) and ``collect()`` blocks on the results.  Keeping dispatch and
+    collect separate lets the pipeline overlap the ~30 ms tunnel round
+    trips of one chromosome pair with the host planning/searching of the
+    next (models/pipeline.py search_job two-phase loop)."""
+
+    def __init__(self, n, bj, bs, ok, row_iv, pending, s_all, limit, qovf):
+        self._n = n
+        self._bj, self._bs, self._ok = bj, bs, ok
+        self._row_iv = row_iv
+        self._pending = pending
+        self._s_all, self._limit, self._qovf = s_all, limit, qovf
+
+    def collect(self):
+        """Block on the device results; returns (best_j, best_steps, ok)."""
+        n = self._n
+        if n == 0 or self._pending is None:
+            return self._bj, self._bs, self._ok
+        ideal_max = np.zeros(n, np.int64)
+        for part, m, out in self._pending:
+            vals = np.asarray(out)[:m].astype(np.int64)
+            np.maximum.at(ideal_max, self._row_iv[part], vals)
+        limit = np.asarray(self._limit)[:n].astype(np.int64)
+        qovf = np.asarray(self._qovf)[:n]
+        verdict = ((~qovf) & (np.asarray(self._s_all)[:n] > 0)
+                   & (ideal_max < limit))
+        self._bj[verdict] = -1
+        self._ok[:] = verdict
+        self._pending = None
+        return self._bj, self._bs, self._ok
+
+
 class RollPrefilter:
     """Batches planned intervals into composition rows and returns
     per-interval verdicts in the native ``sedef_search`` results contract:
@@ -151,7 +184,18 @@ class RollPrefilter:
 
     def run(self, q_keys_dev, r_keys_dev, r_locs_dev,
             r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps):
-        """Verdicts for all planned intervals (plan order).
+        """Verdicts for all planned intervals (plan order) — dispatch +
+        blocking collect."""
+        return self.dispatch(q_keys_dev, r_keys_dev, r_locs_dev,
+                             r_locs_host, qws, qwe, t0, rws0,
+                             n_steps).collect()
+
+    def dispatch(self, q_keys_dev, r_keys_dev, r_locs_dev,
+                 r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps
+                 ) -> PendingPrefilter:
+        """Launch the device dispatches for all planned intervals (plan
+        order) without blocking; the returned handle's ``collect()``
+        yields the verdicts.
 
         r_locs_host: unpadded host loci (event construction);
         qws/qwe: per-interval query window minimizer range;
@@ -161,7 +205,8 @@ class RollPrefilter:
         bs = np.zeros(n, np.int32)
         ok = np.zeros(n, bool)
         if n == 0:
-            return bj, bs, ok
+            return PendingPrefilter(0, bj, bs, ok, None, None, None, None,
+                                    None)
         qws = np.asarray(qws, np.int32)
         qwe = np.asarray(qwe, np.int32)
         t0 = np.asarray(t0, np.int64)
@@ -223,15 +268,5 @@ class RollPrefilter:
             pending.append((part, m, out))
             offv = part.stop
 
-        ideal_max = np.zeros(n, np.int64)
-        for part, m, out in pending:
-            vals = np.asarray(out)[:m].astype(np.int64)
-            np.maximum.at(ideal_max, row_iv[part], vals)
-
-        limit = np.asarray(limit)[:n].astype(np.int64)
-        qovf = np.asarray(qovf)[:n]
-        verdict = ((~qovf) & (np.asarray(s_all)[:n] > 0)
-                   & (ideal_max < limit))
-        bj[verdict] = -1
-        ok[:] = verdict
-        return bj, bs, ok
+        return PendingPrefilter(n, bj, bs, ok, row_iv, pending, s_all,
+                                limit, qovf)

@@ -134,6 +134,30 @@ def test_prefilter_search_byte_identical(trial, monkeypatch):
     assert len(base) > 0
 
 
+def test_search_job_two_phase_byte_identical(monkeypatch, tmp_path):
+    """search_job's two-phase loop (async prepare_device_search for every
+    chromosome pair, then collect+search) must emit exactly the host
+    engine's seed lines, across multiple chromosomes and both strands."""
+    if not native.has("search_plan"):
+        pytest.skip("native library not built")
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models import pipeline as pl
+    from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
+
+    chroms, _ = simulate_genome(1_200_000, 6, seed=5, n_chroms=3,
+                                repeat_families=4, repeat_copies=12,
+                                repeat_div=(0.05, 0.30))
+    fa = str(tmp_path / "g.fa")
+    write_fasta(fa, chroms)
+    fr = FastaReference(fa)
+    bins = generate_translation(fr)
+    host = pl.search_stage(fr, bins, DEFAULT, use_device=False)
+    monkeypatch.setattr(seeder, "PREFILTER_MIN_STEPS", 0)
+    dev = pl.search_stage(fr, bins, DEFAULT, use_device=True, jobs=2)
+    assert host == dev
+    assert len(host) > 0
+
+
 def test_prefilter_byte_identical_repeat_heavy(monkeypatch):
     """Fail-heavy repeat workload through the full production dispatch:
     the pruned intervals must not change the output."""
