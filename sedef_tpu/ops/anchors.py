@@ -37,9 +37,11 @@ def _kmer_hashes(seq: str, k: int) -> tuple[np.ndarray, np.ndarray]:
     n = len(seq) - k + 1
     if n <= 0:
         return np.empty(0, np.int64), np.empty(0, bool)
-    h = np.zeros(n, dtype=np.int64)
+    # 2k bits: int32 keys for k <= 15 halve the sort/join memory traffic
+    dt = np.int32 if 2 * k <= 31 else np.int64
+    h = np.zeros(n, dtype=dt)
     for j in range(k):
-        h = (h << 2) | code[j:j + n].astype(np.int64)
+        h = (h << 2) | code[j:j + n].astype(dt)
     raw = np.frombuffer(seq.encode(), dtype=np.uint8)
     is_n = (raw == ord("N")) | (raw == ord("n"))
     pn = np.concatenate([[0], np.cumsum(is_n)])
@@ -57,25 +59,41 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
         return []
 
     r_pos = np.nonzero(rv)[0].astype(np.int64)
+    if r_pos.size == 0:
+        return []
     r_hash = rh[r_pos]
     order = np.argsort(r_hash, kind="stable")  # stable keeps r ascending
     r_hash_s = r_hash[order]
     r_pos_s = r_pos[order]
 
+    # posting-list boundaries of the sorted ref hashes (r_hash_s is
+    # sorted, so distinct-run extraction is a neighbour compare — no
+    # second sort, and the join needs ONE searchsorted over the distinct
+    # keys instead of two over the full array)
+    bound = np.empty(r_hash_s.size, dtype=bool)
+    bound[0] = True
+    np.not_equal(r_hash_s[1:], r_hash_s[:-1], out=bound[1:])
+    uidx = np.nonzero(bound)[0]
+    uniq = r_hash_s[uidx]
+    ucnt = np.diff(np.append(uidx, r_hash_s.size))
+
     q_pos = np.nonzero(qv)[0].astype(np.int64)
     q_hash = qh[q_pos]
-    lo = np.searchsorted(r_hash_s, q_hash, side="left")
-    hi = np.searchsorted(r_hash_s, q_hash, side="right")
-    sizes = hi - lo
-    ok = (sizes > 0) & (sizes < max_posting)  # chain.cc:61 (>= 1000 skipped)
-    q_pos, lo, hi, sizes = q_pos[ok], lo[ok], hi[ok], sizes[ok]
+    p = np.minimum(np.searchsorted(uniq, q_hash), len(uniq) - 1)
+    found = uniq[p] == q_hash
+    lo = uidx[p]
+    sizes = np.where(found, ucnt[p], 0)
+    ok = found & (sizes < max_posting)  # chain.cc:61 (>= 1000 skipped)
+    q_pos, lo, sizes = q_pos[ok], lo[ok], sizes[ok]
     if q_pos.size == 0:
         return []
 
     # expand the join into (q, r) pair arrays, q-major then posting order
     pair_q = np.repeat(q_pos, sizes)
-    idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)]) \
-        if q_pos.size else np.empty(0, np.int64)
+    total = int(sizes.sum())
+    off = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(off, sizes) + np.repeat(lo, sizes))
     pair_r = r_pos_s[idx]
 
     if same_chr:
