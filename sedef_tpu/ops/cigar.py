@@ -371,10 +371,17 @@ class Alignment:
 
     def cigar_from_alignment(self) -> None:
         """Recompute the CIGAR from the gapped strings (align.cc:480-501),
-        vectorized run-length encoding."""
+        vectorized run-length encoding.
+
+        Empty alignments yield the reference's ``{'\\0', 0}`` sentinel op
+        (align.cc:501 pushes the initial ``op=0, sz=0`` run unconditionally).
+        The sentinel is invisible in ``cigar_string`` but blocks junction
+        coalescing in later ``append_cigar``/``prepend_cigar`` calls —
+        observable as adjacent uncoalesced runs (e.g. ``58M62M``) when a
+        fully-trimmed mate is appended during ``merge``."""
         n = len(self.align_a)
         if n == 0:
-            self.cigar = []
+            self.cigar = [("\x00", 0)]
             return
         ga = np.frombuffer(self.align_a.encode(), np.uint8)
         gb = np.frombuffer(self.align_b.encode(), np.uint8)

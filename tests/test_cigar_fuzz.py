@@ -1,0 +1,140 @@
+"""Property-based fuzz of the CIGAR surgery (ops/cigar.py).
+
+The golden fixtures pin specific reference cases; this fuzz sweeps random
+mutated pairs through the same surgery the align stage performs —
+from_seqs, trim_front/trim_back, merge, from_cigar round trips — and
+asserts the structural invariants that every Alignment must keep:
+
+* CIGAR consumption equals the coordinate spans (M+D consumes ``a``,
+  M+I consumes ``b`` — this module's gap convention, see
+  _append_gap_cigar);
+* gapped strings reproduce the raw substrings when de-gapped;
+* op lengths stay positive;
+* trims only ever shrink the span (monotonic coordinates).
+"""
+
+import numpy as np
+
+from sedef_tpu.config import DEFAULT
+from sedef_tpu.ops.cigar import Alignment
+from sedef_tpu.ops.wavefront import WavefrontAligner
+
+AL = WavefrontAligner(use_tpu=False)
+
+
+def mutate(s: str, rate: float, rng) -> str:
+    out = []
+    for ch in s:
+        u = rng.random()
+        if u < rate * 0.6:
+            out.append("ACGT"[rng.integers(4)])
+        elif u < rate * 0.8:
+            continue  # deletion
+        elif u < rate:
+            out.append(ch)
+            out.append("ACGT"[rng.integers(4)])  # insertion
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def rand_pair(rng, n=2600, rate=0.12):
+    q = "".join(rng.choice(list("ACGT"), n))
+    return q, mutate(q, rate, rng)
+
+
+def check_consistent(al: Alignment, tag: str) -> None:
+    qspan = al.end_a - al.start_a
+    rspan = al.end_b - al.start_b
+    mq = sum(n for op, n in al.cigar if op in "MD")
+    mr = sum(n for op, n in al.cigar if op in "MI")
+    assert (mq, mr) == (qspan, rspan), (tag, mq, qspan, mr, rspan)
+    # zero-length ops exist only as reference quirks: the '\0' sentinel an
+    # empty-alignment cigar_from_alignment leaves behind (align.cc:501) and
+    # the big-gap ma-mi==0 I/D filler (align.cc:137); both are invisible in
+    # cigar_string but must stay in the op list to block junction coalescing.
+    assert all(n > 0 or op in "\x00ID" for op, n in al.cigar), (tag, al.cigar)
+    assert len(al.a) == qspan and len(al.b) == rspan, tag
+    assert al.align_a.replace("-", "") == al.a, tag
+    assert al.align_b.replace("-", "") == al.b, tag
+    assert len(al.align_a) == len(al.align_b) == len(al.alignment), tag
+    # reference semantics: errors are percentages (align.cc error())
+    assert 0 <= al.total_error() <= 100.0 or al.span() == 0, tag
+
+
+def test_fuzz_trims():
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        q, r = rand_pair(rng, rate=0.05 + 0.025 * (seed % 8))
+        al = Alignment.from_seqs(q, r, AL)
+        check_consistent(al, f"from_seqs[{seed}]")
+        f = al.copy()
+        f.trim_front(DEFAULT)
+        check_consistent(f, f"trim_front[{seed}]")
+        assert f.start_a >= al.start_a and f.start_b >= al.start_b
+        assert f.end_a == al.end_a and f.end_b == al.end_b
+        b = al.copy()
+        b.trim_back(DEFAULT)
+        check_consistent(b, f"trim_back[{seed}]")
+        assert b.end_a <= al.end_a and b.end_b <= al.end_b
+        assert b.start_a == al.start_a and b.start_b == al.start_b
+        # both trims compose
+        fb = f
+        fb.trim_back(DEFAULT)
+        check_consistent(fb, f"trim_both[{seed}]")
+
+
+def test_fuzz_cigar_roundtrip():
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        q, r = rand_pair(rng, n=1500)
+        al = Alignment.from_seqs(q, r, AL)
+        rt = Alignment.from_cigar(al.a, al.b, al.cigar_string())
+        assert rt.cigar == al.cigar
+        assert rt.align_a == al.align_a
+        assert rt.align_b == al.align_b
+        assert (rt.matches(), rt.mismatches(), rt.gaps(), rt.gap_bases()) \
+            == (al.matches(), al.mismatches(), al.gaps(), al.gap_bases())
+
+
+def test_fuzz_merge():
+    """Overlapping block merge: absolute coordinates, de-gap identity and
+    full-span coverage must survive the double cut + gap re-alignment."""
+    for seed in range(10):
+        rng = np.random.default_rng(200 + seed)
+        q, r = rand_pair(rng, n=3400, rate=0.04 + 0.02 * (seed % 4))
+        cut_q = 1700 + int(rng.integers(-200, 200))
+        cut_r = min(cut_q + int(rng.integers(-60, 60)), len(r) - 400)
+        ov = int(rng.integers(40, 400))
+        first = Alignment.from_seqs(q[:cut_q], r[:cut_r], AL)
+        cur = Alignment.from_seqs(q[cut_q - ov:], r[cut_r - ov:], AL)
+        cur.start_a += cut_q - ov
+        cur.end_a += cut_q - ov
+        cur.start_b += cut_r - ov
+        cur.end_b += cut_r - ov
+        assert cur.start_a < first.end_a  # genuine overlap
+        first.merge(cur, q, r, AL)
+        check_consistent(first, f"merge[{seed}]")
+        assert first.start_a == 0 and first.start_b == 0
+        assert first.end_a == len(q) and first.end_b == len(r)
+        assert first.a == q and first.b == r
+
+def test_empty_rebuild_sentinel_blocks_coalescing():
+    """align.cc:501 quirk: cigar_from_alignment on an empty alignment pushes
+    the initial {'\\0', 0} run.  The sentinel never prints, but it sits in
+    the op deque and blocks append_cigar's junction merge — the reference
+    emits '58M62M' instead of '120M' when a fully-trimmed mate is merged."""
+    al = Alignment()
+    al.cigar_from_alignment()
+    assert al.cigar == [("\x00", 0)]
+
+    left = Alignment.from_cigar("A" * 58, "A" * 58, "58M")
+    left.append_cigar(al.cigar)
+    left.append_cigar([("M", 62)])
+    assert left.cigar == [("M", 58), ("\x00", 0), ("M", 62)]
+    assert left.cigar_string() == "58M62M"
+    # the sentinel counts as a gap *run* with zero bases (align.cc:300-304)
+    left.a = "A" * 120
+    left.b = "A" * 120
+    left.populate()
+    assert left.gaps() == 1 and left.gap_bases() == 0
