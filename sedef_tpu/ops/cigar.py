@@ -347,6 +347,45 @@ class Alignment:
     def cigar_string(self) -> str:
         return "".join(f"{ln}{op}" for op, ln in self.cigar if ln)
 
+    def pretty(self, width: int = 100, only_alignment: bool = False) -> str:
+        """Human-readable block rendering (align.cc:638-677 ``print``; no
+        call sites in the reference either — a debug utility).  Header with
+        spans/error tallies, then the gapped strings in ``width`` columns
+        with running coordinates."""
+        assert self.alignment
+        res = ""
+        qa, sa = self.start_a, 0
+        qb, sb = self.start_b, 0
+        if width == -1:
+            width = len(self.alignment)
+        if not only_alignment:
+            res += (
+                "       A: {:>9}..{:<9} (len {:7})    Gaps:       {:5}"
+                " = {:.0f}% ({})\n"
+                "       B: {:>9}..{:<9} (len {:7})    Mismatches: {:5}"
+                " = {:.0f}%\n"
+                "   CIGAR: {}\n").format(
+                self.start_a, self.end_a, self.end_a - self.start_a,
+                self._gap_bases, self.gap_error(), self._gaps,
+                self.start_b, self.end_b, self.end_b - self.start_b,
+                self._mismatches, self.mismatch_error(),
+                self.cigar_string())
+        for i in range(0, len(self.alignment), width):
+            wa = self.align_a[i:i + width]
+            wm = self.alignment[i:i + width]
+            wb = self.align_b[i:i + width]
+            if only_alignment:
+                res += f"{wa}\n{wm}\n{wb}\n\n"
+            else:
+                res += ("   {:10}: {} {}\n   {:10}  {} {}\n"
+                        "   {:10}: {} {}\n").format(
+                    qa, wa, sa, "", wm, i + len(wa), qb, wb, sb)
+            qa += sum(1 for c in wa if c != "-")
+            sa += sum(1 for c in wa if c != "-")
+            qb += sum(1 for c in wb if c != "-")
+            sb += sum(1 for c in wb if c != "-")
+        return res
+
     # -- CIGAR surgery ------------------------------------------------------
 
     def prepend_cigar(self, app: list[tuple[str, int]]) -> None:
@@ -394,12 +433,15 @@ class Alignment:
                       for st, en in zip(starts, ends)]
 
     def swap(self) -> None:
-        """Swap mates, flipping I<->D (align.cc:623-636)."""
+        """Swap mates, flipping I<->D (align.cc:623-636).  Zero-length ops
+        keep their char — the reference flips only ``if (p.second)``, so a
+        zero filler/sentinel survives a swap unflipped (affects whether a
+        later same-op append merges into it)."""
         self.a, self.b = self.b, self.a
         self.start_a, self.start_b = self.start_b, self.start_a
         self.end_a, self.end_b = self.end_b, self.end_a
         self.cigar = [("D" if op == "I" else ("I" if op == "D" else op), ln)
-                      for op, ln in self.cigar]
+                      if ln else (op, ln) for op, ln in self.cigar]
         self.populate()
 
     # -- trimming (align.cc:317-456) ---------------------------------------

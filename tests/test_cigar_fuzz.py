@@ -138,3 +138,15 @@ def test_empty_rebuild_sentinel_blocks_coalescing():
     left.b = "A" * 120
     left.populate()
     assert left.gaps() == 1 and left.gap_bases() == 0
+
+
+def test_pretty_render():
+    """pretty() (align.cc:638-677) renders header + width-wrapped blocks."""
+    al = Alignment.from_cigar("ACGTACGTAA", "ACCTACGT", "4M2D4M")
+    s = al.pretty(width=6)
+    lines = s.splitlines()
+    assert lines[2].startswith("   CIGAR: 4M2D4M")
+    assert "ACGTAC" in lines[3] and "ACCT--" in lines[5]
+    only = al.pretty(width=-1, only_alignment=True)
+    assert only.splitlines()[0] == "ACGTACGTAA"
+    assert only.splitlines()[2] == "ACCT--ACGT"
