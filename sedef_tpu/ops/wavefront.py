@@ -604,6 +604,75 @@ def _pipe_geometry(S_q: int, S_t: int, K: int, SUB: int):
     return chunk, n_rows_bt, n_rows_tot, n_i
 
 
+def _pipe_consts(S_q: int, W: int, SUB: int, gapo: int):
+    """Loop-invariant vectors of the streamed row recurrence."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+    lane_mod = jax.lax.rem(lane, S_q)
+    lmask = lane < 1
+    # top-boundary gap open: 0 only for each problem's very first row
+    # (it fires at lane == r' and r' == lane there)
+    bq_vec = jnp.where(lane == 0, 0, gapo)
+    return lane, lane_mod, lmask, bq_vec
+
+
+def _pipe_dp_row(st, blk, sr, consts, S_q: int, W: int, n_i: int, match,
+                 mis, gapo, qe2, max_sc):
+    """One anti-diagonal of the STREAMED recurrence: like ``_dp_row`` but
+    with per-problem target switching at every lane ≡ sr (mod S_q), so K
+    problems chain back-to-back in one lane plane.  Shared verbatim by the
+    direct pipelined kernel and the tiled (checkpoint/recompute) giant
+    path — the shared body is what makes their CIGARs bit-identical.
+
+    st = (u0, v0, x0, y0, qrow0, tq0); blk = (SUB, 128) injection block
+    (lane 0 = query code, lanes [1, 1+n_i) = per-front target codes);
+    sr = global stream row."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    lane, lane_mod, lmask, bq_vec = consts
+    u0, v0, x0, y0, qrow0, tq0 = st
+    SUB = u0.shape[0]
+    srm = jax.lax.rem(sr, S_q)
+    # target switch at every lane ≡ sr (mod S_q)
+    onr = lane_mod == srm
+    for i in range(n_i):
+        tval = jnp.broadcast_to(blk[:, 1 + i:2 + i], (SUB, W))
+        # for the first front the (lane == srm) test IS onr when
+        # the lane plane is exactly one problem wide
+        cond = onr if (i == 0 and W == S_q) \
+            else onr & (lane == srm + i * S_q)
+        tq0 = jnp.where(cond, tval, tq0)
+    # query code enters at lane 0 (only lane 0 of the where is
+    # ever taken, so a column broadcast replaces the wpad concat)
+    qin = jnp.broadcast_to(blk[:, :1], (SUB, W))
+    qrow = jnp.where(lmask, qin, pltpu.roll(qrow0, 1, axis=1))
+
+    ub = jnp.where(onr, bq_vec, u0)
+    yb = jnp.where(onr, 0, y0)
+    v1 = jnp.where(srm > 0, gapo, 0)
+    xs = jnp.where(lmask, 0, pltpu.roll(x0, 1, axis=1))
+    vs = jnp.where(lmask, v1, pltpu.roll(v0, 1, axis=1))
+
+    # z = score + qe2 folded into one select tree
+    z = jnp.where(jnp.logical_or(qrow >= 4, tq0 >= 4), qe2,
+                  jnp.where(qrow == tq0, match + qe2, mis + qe2))
+    a = xs + vs
+    b = yb + ub
+    d = (a > z).astype(jnp.int32)
+    z = jnp.maximum(z, a)
+    d = jnp.where(b > z, 2, d)
+    z = jnp.maximum(z, b)
+    z = jnp.minimum(z, max_sc)
+    un = z - vs
+    vn = z - ub
+    z2 = z - gapo
+    a2 = a - z2
+    b2 = b - z2
+    xn = jnp.maximum(a2, 0)
+    yn = jnp.maximum(b2, 0)
+    d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+    return (un, vn, xn, yn, qrow, tq0), d
+
+
 @functools.partial(jax.jit, static_argnames=(
     "S_q", "S_t", "K", "match", "mis", "gapo", "gape", "SUB", "interpret"))
 def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
@@ -659,57 +728,14 @@ def wavefront_pipelined_batch(qstream, tinj, S_q: int, S_t: int, K: int,
             qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
             tq_ref[:] = jnp.full_like(tq_ref, WILDCARD)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
-        lane_mod = jax.lax.rem(lane, S_q)  # loop-invariant
-        lmask = lane < 1
-        # top-boundary gap open: 0 only for each problem's very first row
-        # (it fires at lane == r' and r' == lane there)
-        bq_vec = jnp.where(lane == 0, 0, gapo)
+        consts = _pipe_consts(S_q, W, SUB, gapo)
 
         def row(sr, rr, st):
-            u0, v0, x0, y0, qrow0, tq0 = st
-            srm = jax.lax.rem(sr, S_q)
             blk = inj_ref[0, 0, rr].astype(jnp.int32)    # (SUB, 128)
-            # target switch at every lane ≡ sr (mod S_q)
-            onr = lane_mod == srm
-            for i in range(n_i):
-                tval = jnp.broadcast_to(blk[:, 1 + i:2 + i], (SUB, W))
-                # for the first front the (lane == srm) test IS onr when
-                # the lane plane is exactly one problem wide
-                cond = onr if (i == 0 and W == S_q) \
-                    else onr & (lane == srm + i * S_q)
-                tq0 = jnp.where(cond, tval, tq0)
-            # query code enters at lane 0 (only lane 0 of the where is
-            # ever taken, so a column broadcast replaces the wpad concat)
-            qin = jnp.broadcast_to(blk[:, :1], (SUB, W))
-            qrow = jnp.where(lmask, qin, pltpu.roll(qrow0, 1, axis=1))
-
-            ub = jnp.where(onr, bq_vec, u0)
-            yb = jnp.where(onr, 0, y0)
-            v1 = jnp.where(srm > 0, gapo, 0)
-            xs = jnp.where(lmask, 0, pltpu.roll(x0, 1, axis=1))
-            vs = jnp.where(lmask, v1, pltpu.roll(v0, 1, axis=1))
-
-            # z = score + qe2 folded into one select tree
-            z = jnp.where(jnp.logical_or(qrow >= 4, tq0 >= 4), qe2,
-                          jnp.where(qrow == tq0, match + qe2, mis + qe2))
-            a = xs + vs
-            b = yb + ub
-            d = (a > z).astype(jnp.int32)
-            z = jnp.maximum(z, a)
-            d = jnp.where(b > z, 2, d)
-            z = jnp.maximum(z, b)
-            z = jnp.minimum(z, max_sc)
-            un = z - vs
-            vn = z - ub
-            z2 = z - gapo
-            a2 = a - z2
-            b2 = b - z2
-            xn = jnp.maximum(a2, 0)
-            yn = jnp.maximum(b2, 0)
-            d = d + jnp.where(a2 > 0, 8, 0) + jnp.where(b2 > 0, 16, 0)
+            st, d = _pipe_dp_row(st, blk, sr, consts, S_q, W, n_i, match,
+                                 mis, gapo, qe2, max_sc)
             out_ref[0, rr, :, :] = d.astype(jnp.uint8)
-            return (un, vn, xn, yn, qrow, tq0)
+            return st
 
         def body(i, st):
             for k in range(unroll):
@@ -1135,6 +1161,393 @@ def wavefront_cigar_tiled(qseq, tgt, ql, tl, S_q: int, S_t: int,
     return ops
 
 
+def _ckpt_pass_pipe(inj, S_q: int, S_t: int, n_i: int, match, mis, gapo,
+                    gape, SUB: int, TILE: int, interpret: bool):
+    """Streamed forward fill storing only per-tile entry states.
+
+    Like ``_ckpt_pass`` but over a K-problem stream (``_pipe_dp_row``
+    recurrence): the rotated plane's out-of-triangle half carries the next
+    problem's triangle, so fill rows per problem drop from ~2·S_q to
+    ~S_q·(K+1)/K.  inj: (Bp, n_tiles, TILE, SUB, 128) int8.
+    Returns ckpt (Bp, n_tiles, 6, SUB, S_t) int32 (u, v, x, y, qrow, tq
+    entering each tile)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S_t
+    Bp = inj.shape[0]
+    n_tiles = inj.shape[1]
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+    unroll = 32 if TILE % 32 == 0 else (16 if TILE % 16 == 0 else 8)
+
+    def kernel(inj_ref, ck_ref, u_ref, v_ref, x_ref, y_ref, qrow_ref,
+               tq_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _init():
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+            x_ref[:] = jnp.zeros_like(x_ref)
+            y_ref[:] = jnp.zeros_like(y_ref)
+            qrow_ref[:] = jnp.full_like(qrow_ref, WILDCARD)
+            tq_ref[:] = jnp.full_like(tq_ref, WILDCARD)
+
+        ck_ref[0, 0, 0] = u_ref[:]
+        ck_ref[0, 0, 1] = v_ref[:]
+        ck_ref[0, 0, 2] = x_ref[:]
+        ck_ref[0, 0, 3] = y_ref[:]
+        ck_ref[0, 0, 4] = qrow_ref[:]
+        ck_ref[0, 0, 5] = tq_ref[:]
+
+        consts = _pipe_consts(S_q, W, SUB, gapo)
+
+        def body(i, st):
+            for k in range(unroll):
+                rr = i * unroll + k
+                blk = inj_ref[0, 0, rr].astype(jnp.int32)
+                st, _ = _pipe_dp_row(st, blk, t * TILE + rr, consts, S_q,
+                                     W, n_i, match, mis, gapo, qe2, max_sc)
+            return st
+
+        st0 = (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+               tq_ref[:])
+        st = jax.lax.fori_loop(0, TILE // unroll, body, st0)
+        (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+         tq_ref[:]) = st
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE, SUB, 128), lambda b, t: (b, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 6, SUB, W),
+                               lambda b, t: (b, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, n_tiles, 6, SUB, W), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SUB, W), jnp.int32)] * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(inj)
+
+
+def _refill_tile_pipe(inj_t, ck_t, r0, S_q: int, S_t: int, n_i: int, match,
+                      mis, gapo, gape, SUB: int, TILE: int, chunk: int,
+                      interpret: bool):
+    """Re-fill one stream tile's direction rows from its checkpoint.
+
+    inj_t: (Bp, TILE, SUB, 128) int8; ck_t: (Bp, 6, SUB, S_t) int32;
+    r0: (1, 1) int32 global stream row of the tile's first row.
+    Returns p_tile (Bp, TILE, SUB, S_t) uint8."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = S_t
+    Bp = inj_t.shape[0]
+    n_chunks = TILE // chunk
+    qe = gapo + gape
+    qe2 = 2 * qe
+    max_sc = match + qe2
+    unroll = 32 if chunk % 32 == 0 else (16 if chunk % 16 == 0 else 8)
+    inj_c = inj_t.reshape(Bp, n_chunks, chunk, SUB, 128)
+
+    def kernel(r0_ref, inj_ref, ck_ref, out_ref,
+               u_ref, v_ref, x_ref, y_ref, qrow_ref, tq_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            u_ref[:] = ck_ref[0, 0]
+            v_ref[:] = ck_ref[0, 1]
+            x_ref[:] = ck_ref[0, 2]
+            y_ref[:] = ck_ref[0, 3]
+            qrow_ref[:] = ck_ref[0, 4]
+            tq_ref[:] = ck_ref[0, 5]
+
+        consts = _pipe_consts(S_q, W, SUB, gapo)
+        rbase = r0_ref[0, 0] + c * chunk
+
+        def body(i, st):
+            for k in range(unroll):
+                rr = i * unroll + k
+                blk = inj_ref[0, 0, rr].astype(jnp.int32)
+                st, d = _pipe_dp_row(st, blk, rbase + rr, consts, S_q, W,
+                                     n_i, match, mis, gapo, qe2, max_sc)
+                out_ref[0, rr, :, :] = d.astype(jnp.uint8)
+            return st
+
+        st0 = (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+               tq_ref[:])
+        st = jax.lax.fori_loop(0, chunk // unroll, body, st0)
+        (u_ref[:], v_ref[:], x_ref[:], y_ref[:], qrow_ref[:],
+         tq_ref[:]) = st
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, chunk, SUB, 128),
+                         lambda b, c: (b, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, SUB, W), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, SUB, W),
+                               lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, TILE, SUB, W), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((SUB, W), jnp.int32)] * 6,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0, inj_c, ck_t)
+
+
+def _backtrack_tile_pipe(p_tile, qlv, tlv, wstate, r0, S_q: int, K: int,
+                         chunk: int, interpret: bool):
+    """Walk one stream tile's rows in reverse with K per-lane walkers.
+
+    Walker k (problem slot k of each stream, lane k of the state planes)
+    consumes stream row r when r == i_k + j_k + k*S_q.  Because problem
+    k's rows span [k*S_q, (k+2)*S_q) (ql <= S_q, tl <= S_t <= S_q), at
+    most walkers m0 = r // S_q and m0-1 are active on any row — always of
+    opposite parity — so ops are emitted into two parity planes.
+
+    p_tile: (Bp, TILE, SUB, S_t) uint8; qlv/tlv: (Bp, SUB, 128) int32
+    (lane k = problem k's dims); wstate: (Bp, 4, SUB, 128) int32 planes
+    [i, j, state, unused]; r0: (1, 1) int32.
+    Returns (ops (Bp, n_chunks, 2, SUB, chunk) uint8, new wstate)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Bp, TILE, SUB, W = p_tile.shape
+    n_chunks = TILE // chunk
+
+    def kernel(r0_ref, p_ref, ql_ref, tl_ref, ws_ref, out_ref, wo_ref,
+               st_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            st_ref[:] = ws_ref[0]
+
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (SUB, W), 1)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (SUB, chunk), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+        qlv_ = ql_ref[0]
+        tlv_ = tl_ref[0]
+        rr0 = r0_ref[0, 0] + (n_chunks - 1 - c) * chunk
+
+        def body(k2, st):
+            i, j, state, acc0, acc1 = st
+            rr = chunk - 1 - k2
+            r = rr0 + rr
+            prow = p_ref[0, rr, :, :].astype(jnp.int32)
+            m0 = r // S_q
+            opbs = []
+            for wi in range(2):
+                m = m0 - wi
+                lane_eq = lane_k == m
+                i_w = jnp.sum(jnp.where(lane_eq, i, 0), axis=1,
+                              keepdims=True)
+                j_w = jnp.sum(jnp.where(lane_eq, j, 0), axis=1,
+                              keepdims=True)
+                st_w = jnp.sum(jnp.where(lane_eq, state, 0), axis=1,
+                               keepdims=True)
+                ql_w = jnp.sum(jnp.where(lane_eq, qlv_, 0), axis=1,
+                               keepdims=True)
+                tl_w = jnp.sum(jnp.where(lane_eq, tlv_, 0), axis=1,
+                               keepdims=True)
+                rv = r - m * S_q
+                valid = jnp.logical_and(m >= 0, m < K)
+                tmp = jnp.sum(jnp.where(lane_t == i_w, prow, 0),
+                              axis=1, keepdims=True)
+                rvv = jnp.broadcast_to(rv, i_w.shape)
+                st0 = jnp.maximum(0, rvv - ql_w + 1)
+                en0 = jnp.minimum(rvv, tl_w - 1)
+                force = jnp.where(i_w < st0, 2,
+                                  jnp.where(i_w > en0, 1, -1))
+                forced = force >= 0
+                tmp = jnp.where(forced, 0, tmp)
+                bit = ((tmp >> (st_w + 2)) & 1) > 0
+                s1 = jnp.where((st_w != 0) & bit, st_w, tmp & 7)
+                s1 = jnp.where(forced, force, s1)
+                op = jnp.where(s1 == 0, 0, jnp.where(s1 == 2, 2, 1))
+                cons = ((i_w >= 0) & (j_w >= 0) & (rvv == i_w + j_w)
+                        & valid)
+                di = jnp.where(op != 2, 1, 0)
+                dj = jnp.where((op == 0) | (op == 2), 1, 0)
+                i_n = jnp.where(cons, i_w - di, i_w)
+                j_n = jnp.where(cons, j_w - dj, j_w)
+                st_n = jnp.where(cons, s1, st_w)
+                upd = lane_eq & jnp.broadcast_to(cons, lane_eq.shape)
+                i = jnp.where(upd, jnp.broadcast_to(i_n, i.shape), i)
+                j = jnp.where(upd, jnp.broadcast_to(j_n, j.shape), j)
+                state = jnp.where(upd, jnp.broadcast_to(st_n, state.shape),
+                                  state)
+                opbs.append(jnp.where(cons[:, :1], op[:, :1], 255))
+            pe_even = jax.lax.rem(m0, 2) == 0
+            op_p0 = jnp.where(pe_even, opbs[0], opbs[1])
+            op_p1 = jnp.where(pe_even, opbs[1], opbs[0])
+            acc0 = jnp.where(lane_c == rr,
+                             jnp.broadcast_to(op_p0, acc0.shape), acc0)
+            acc1 = jnp.where(lane_c == rr,
+                             jnp.broadcast_to(op_p1, acc1.shape), acc1)
+            return (i, j, state, acc0, acc1)
+
+        st0 = (st_ref[0], st_ref[1], st_ref[2],
+               jnp.full((SUB, chunk), 255, jnp.int32),
+               jnp.full((SUB, chunk), 255, jnp.int32))
+        i, j, state, acc0, acc1 = jax.lax.fori_loop(0, chunk, body, st0)
+        st_ref[0], st_ref[1], st_ref[2] = i, j, state
+        out_ref[0, 0, 0] = acc0.astype(jnp.uint8)
+        out_ref[0, 0, 1] = acc1.astype(jnp.uint8)
+
+        @pl.when(c == n_chunks - 1)
+        def _emit():
+            wo_ref[0] = st_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda b, c: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, SUB, W),
+                         lambda b, c: (b, n_chunks - 1 - c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, 128), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUB, 128), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 2, SUB, chunk),
+                         lambda b, c: (b, n_chunks - 1 - c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, SUB, 128), lambda b, c: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, n_chunks, 2, SUB, chunk), jnp.uint8),
+            jax.ShapeDtypeStruct((Bp, 4, SUB, 128), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, SUB, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(r0, p_tile, qlv, tlv, wstate)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S_q", "S_t", "K", "match", "mis", "gapo", "gape",
+                     "SUB", "TILE", "interpret"))
+def wavefront_cigar_tiled_pipelined(qseq, tgt, ql, tl, S_q: int, S_t: int,
+                                    K: int, match: int = 5, mis: int = -4,
+                                    gapo: int = 40, gape: int = 1,
+                                    SUB: int = 8, TILE: int = 4096,
+                                    interpret: bool = False):
+    """Checkpoint/recompute giant path over K-problem STREAMS: the fill
+    (both the checkpoint pass and the per-tile refill) runs the streamed
+    recurrence, so the rotated plane's out-of-triangle half computes the
+    next problem instead of wildcard filler — fill rows per problem drop
+    from ~2·S_q toward ~S_q·(K+1)/K (→ ~2x at large K).  The reverse
+    walk runs K per-lane walkers over the shared stream rows (two parity
+    op planes; at most two walkers — always of opposite parity — touch
+    any row).  Requires S_t <= S_q (one growth front).
+
+    qseq: (B, S_q) int8, tgt: (B, S_t) int8, ql/tl: (B,) int32 with
+    B = n_streams * K, problem (stream s, slot k) at index s*K + k.
+    Returns ops (B, n_rows_bt) uint8 (255 = row not consumed), decodable
+    by ``cigar_from_ops`` — same contract as ``wavefront_cigar_tiled``."""
+    B = tgt.shape[0]
+    n_streams = B // K
+    assert n_streams * K == B and n_streams % SUB == 0
+    assert K <= 128, "walker lanes"
+    Bp = n_streams // SUB
+    W = S_t
+    chunk0, n_rows_bt, n_rows_tot, n_i = _pipe_geometry(S_q, S_t, K, SUB)
+    assert n_i == 1, "streamed-tiled path requires S_t <= S_q"
+    n_tiles = (n_rows_tot + TILE - 1) // TILE
+    n_rows_tl = n_tiles * TILE
+
+    # stream construction (as wavefront_cigar_pipelined, n_i == 1)
+    qs = qseq.astype(jnp.int8).reshape(n_streams, K * S_q)
+    qstream = jnp.concatenate(
+        [qs, jnp.full((n_streams, n_rows_tl - K * S_q), WILDCARD,
+                      jnp.int8)], axis=1)
+    TT = tgt.astype(jnp.int8).reshape(n_streams, K, S_t)
+    sr = jnp.arange(n_rows_tl, dtype=jnp.int32)
+    m = sr // S_q
+    lane = sr % S_q
+    valid = (m < K) & (lane < S_t)
+    v = TT[:, jnp.clip(m, 0, K - 1), jnp.clip(lane, 0, S_t - 1)]
+    tinj = jnp.where(valid[None, :], v, WILDCARD)
+
+    qv = qstream.reshape(Bp, SUB, n_rows_tl).transpose(0, 2, 1)
+    tv = tinj.reshape(Bp, SUB, n_rows_tl).transpose(0, 2, 1)
+    inj = jnp.concatenate(
+        [qv[..., None], tv[..., None],
+         jnp.full((Bp, n_rows_tl, SUB, 126), WILDCARD, jnp.int8)],
+        axis=3).reshape(Bp, n_tiles, TILE, SUB, 128)
+
+    ckpt = _ckpt_pass_pipe(inj, S_q, S_t, n_i, match, mis, gapo, gape,
+                           SUB, TILE, interpret)
+
+    chunk = _chunk_for(S_q, S_t, width=W, sub=SUB)
+    chunk = min(chunk, TILE)
+    while TILE % chunk:
+        chunk -= 8
+
+    # walker state: lane k of sublane s = problem (stream, slot k)
+    lane_k = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+    qlb = ql.reshape(Bp, SUB, K).astype(jnp.int32)
+    tlb = tl.reshape(Bp, SUB, K).astype(jnp.int32)
+    pad = jnp.ones((Bp, SUB, 128 - K), jnp.int32)
+    qlv = jnp.concatenate([qlb, pad], axis=2)
+    tlv = jnp.concatenate([tlb, pad], axis=2)
+    active = lane_k < K
+    i0 = jnp.where(active, tlv - 1, -10)
+    j0 = jnp.where(active, qlv - 1, -10)
+    ws0 = jnp.stack([i0, j0, jnp.zeros_like(i0), jnp.zeros_like(i0)],
+                    axis=1)
+
+    def tile_step(wstate, trev):
+        t = n_tiles - 1 - trev
+        inj_t = jax.lax.dynamic_slice(
+            inj, (0, t, 0, 0, 0), (Bp, 1, TILE, SUB, 128))[:, 0]
+        ck_t = jax.lax.dynamic_slice(
+            ckpt, (0, t, 0, 0, 0), (Bp, 1, 6, SUB, W))[:, 0]
+        r0 = (t * TILE).reshape(1, 1).astype(jnp.int32)
+        p_tile = _refill_tile_pipe(inj_t, ck_t, r0, S_q, S_t, n_i, match,
+                                   mis, gapo, gape, SUB, TILE, chunk,
+                                   interpret)
+        ops_t, wstate = _backtrack_tile_pipe(p_tile, qlv, tlv, wstate, r0,
+                                             S_q, K, chunk, interpret)
+        return wstate, ops_t
+
+    _, ops_tiles = jax.lax.scan(tile_step, ws0,
+                                jnp.arange(n_tiles, dtype=jnp.int32))
+    # (n_tiles_rev, Bp, n_chunks, 2, SUB, chunk) -> (Bp, SUB, 2, n_rows)
+    ops = (ops_tiles[::-1].transpose(1, 4, 3, 0, 2, 5)
+           .reshape(Bp * SUB, 2, n_rows_tl))
+    # problem (stream s, slot k): parity plane k & 1, rows
+    # [k*S_q, k*S_q + n_rows_bt)
+    per_slot = [ops[:, k & 1, k * S_q:k * S_q + n_rows_bt]
+                for k in range(K)]
+    return jnp.stack(per_slot, axis=1).reshape(B, n_rows_bt)
+
+
 def cigar_from_packed_ops(packed_row: np.ndarray, qlen: int, tlen: int
                           ) -> list[tuple[str, int]]:
     """Decode one problem's 2-bit op stream into a CIGAR."""
@@ -1527,9 +1940,62 @@ class WavefrontAligner:
                 results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
                                                      len(tc))
 
+    # streamed-tiled slot counts: K problems chained per stream.  Rounded
+    # up into this ladder so each (S_q, S_t, K) shape compiles once; K=1
+    # is served by the plain tiled path.
+    GIANT_K_LADDER = (2, 3, 4, 6, 8)
+
     def _align_giant(self, pairs, idxs, S_q: int, S_t: int, results):
-        """Tiled checkpoint/recompute path for one giant size class."""
+        """Tiled checkpoint/recompute path for one giant size class.
+
+        With more problems than sublanes (and one growth front,
+        S_t <= S_q) the STREAMED variant chains K problems per stream so
+        both fill passes compute ~2x fewer rows per problem."""
         SUB = 8
+        if S_t <= S_q and len(idxs) > SUB:
+            TILE = 4096 if S_q + S_t - 1 >= 4096 else 1024
+            off = 0
+            while off < len(idxs):
+                want = -(-(len(idxs) - off) // SUB)
+                K = self.GIANT_K_LADDER[-1]
+                for k in self.GIANT_K_LADDER:
+                    if want <= k:
+                        K = k
+                        break
+                part = idxs[off:off + SUB * K]
+                off += len(part)
+                B = SUB * K
+                qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
+                tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)
+                ql = np.ones(B, np.int32)
+                tl = np.ones(B, np.int32)
+                for bi, idx in enumerate(part):
+                    qc, tc = pairs[idx]
+                    qseq[bi, :len(qc)] = qc
+                    tgts[bi, :len(tc)] = tc
+                    ql[bi] = len(qc)
+                    tl[bi] = len(tc)
+                ops = np.asarray(wavefront_cigar_tiled_pipelined(
+                    jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
+                    jnp.asarray(tl), S_q, S_t, K, self.match, self.mis,
+                    self.gapo, self.gape, SUB=SUB, TILE=TILE,
+                    interpret=self.interpret))
+                for bi, idx in enumerate(part):
+                    qc, tc = pairs[idx]
+                    results[idx] = cigar_from_ops(ops[bi], len(qc),
+                                                  len(tc), skip=255)
+            return
+        # plain tiled fallback (S_t > S_q or few problems): the per-tile
+        # refill buffer is Bp*TILE*SUB*S_t bytes — cap sublane groups per
+        # invocation to a ~4 GB transient so 60 Kbp-class batches cannot
+        # overflow HBM (2 groups at S_t = 61440)
+        TILE0 = 4096 if S_q + S_t - 1 >= 4096 else 1024
+        max_groups = max(1, (4 << 30) // (TILE0 * SUB * S_t))
+        if len(idxs) > max_groups * SUB:
+            for off in range(0, len(idxs), max_groups * SUB):
+                self._align_giant(pairs, idxs[off:off + max_groups * SUB],
+                                  S_q, S_t, results)
+            return
         B = ((len(idxs) + SUB - 1) // SUB) * SUB
         qseq = np.full((B, S_q), WILDCARD, dtype=np.int8)
         tgts = np.full((B, S_t), WILDCARD, dtype=np.int8)

@@ -273,3 +273,77 @@ def test_pipelined_asymmetric_matches_numpy_interpret():
         got = cigar_from_packed_ops(ops[b], len(q), len(t))
         p, _ = wavefront_np(q, t)
         assert got == backtrack_np(p, len(q), len(t)), b
+
+
+def test_tiled_pipelined_matches_numpy_interpret():
+    """Streamed-tiled giant path (K-problem streams through the
+    checkpoint/recompute machinery, multi-walker parity-plane traceback)
+    vs the NumPy oracle AND the plain tiled path, interpret mode."""
+    import jax.numpy as jnp
+
+    from sedef_tpu.ops.wavefront import (backtrack_np, cigar_from_ops,
+                                         wavefront_cigar_tiled,
+                                         wavefront_cigar_tiled_pipelined,
+                                         wavefront_np)
+    rng = np.random.default_rng(13)
+    S, K, SUB = 256, 4, 8
+    n_streams = SUB
+    B = n_streams * K
+    qs = np.full((B, S), 4, np.int8)
+    ts = np.full((B, S), 4, np.int8)
+    qls = np.ones(B, np.int32)
+    tls = np.ones(B, np.int32)
+    pairs = []
+    for b in range(B):
+        ql = int(rng.integers(150, S + 1))
+        tl = int(rng.integers(150, S + 1))
+        L = max(ql, tl)
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.15
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        q, t = q[:ql], t[:tl]
+        pairs.append((q, t))
+        qs[b, :ql] = q
+        ts[b, :tl] = t
+        qls[b] = ql
+        tls[b] = tl
+    ops = np.asarray(wavefront_cigar_tiled_pipelined(
+        jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qls),
+        jnp.asarray(tls), S, S, K, SUB=SUB, TILE=512, interpret=True))
+    ops_plain = np.asarray(wavefront_cigar_tiled(
+        jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qls),
+        jnp.asarray(tls), S, S, TILE=512, interpret=True))
+    for b, (q, t) in enumerate(pairs):
+        got = cigar_from_ops(ops[b], len(q), len(t), skip=255)
+        p, _ = wavefront_np(q, t)
+        want = backtrack_np(p, len(q), len(t))
+        assert got == want, b
+        assert got == cigar_from_ops(ops_plain[b], len(q), len(t),
+                                     skip=255), b
+
+
+def test_align_giant_streamed_interpret():
+    """_align_giant's streamed branch (len > SUB problems, S_t <= S_q)
+    routes through wavefront_cigar_tiled_pipelined and must reproduce the
+    NumPy oracle CIGARs (miniature class, interpret mode)."""
+    from sedef_tpu.ops.wavefront import (WavefrontAligner, backtrack_np,
+                                         wavefront_np)
+    rng = np.random.default_rng(21)
+    al = WavefrontAligner(interpret=True)
+    S = 256
+    pairs = []
+    for _ in range(20):
+        ql = int(rng.integers(180, S + 1))
+        tl = int(rng.integers(180, S + 1))
+        L = max(ql, tl)
+        q = rng.integers(0, 4, L).astype(np.int8)
+        t = q.copy()
+        m = rng.random(L) < 0.1
+        t[m] = (t[m] + rng.integers(1, 4, int(m.sum()))) % 4
+        pairs.append((q[:ql], t[:tl]))
+    results = [None] * len(pairs)
+    al._align_giant(pairs, list(range(len(pairs))), S, S, results)
+    for b, (q, t) in enumerate(pairs):
+        p, _ = wavefront_np(q, t)
+        assert results[b] == backtrack_np(p, len(q), len(t)), b
