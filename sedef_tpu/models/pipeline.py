@@ -46,18 +46,45 @@ def auto_device() -> bool:
         return False
 
 
+def _index_nbytes(idx: MinimizerIndex) -> int:
+    """Host bytes held by one cached index (sequence planes + minimizer
+    arrays + posting bounds): ~350 MB per 48 Mbp chromosome strand."""
+    n = 0
+    for a in (idx.keys, idx.locs, idx.skeys, idx.slocs, idx._uniq,
+              idx._starts, idx._ends, idx.seq.code, idx.seq.cls,
+              idx.seq._seq_bytes):
+        n += int(getattr(a, "nbytes", 0))
+    return n
+
+
 class IndexCache:
-    """Per-(chromosome, strand) MinimizerIndex cache shared across pair
-    jobs.  The reference re-indexes in every one of its ~n(n+1) processes
-    (search_main.cc:155-168); a single in-process run only needs each
-    chromosome indexed once per strand.  Thread-safe for the -j fan-out."""
+    """Per-(chromosome, strand) MinimizerIndex LRU cache shared across
+    pair jobs.  The reference re-indexes in every one of its ~n(n+1)
+    processes (search_main.cc:155-168); a single in-process run needs each
+    chromosome indexed once per strand — but holding every strand of a
+    multi-Gbp genome forever is what drove stage-1 peak RSS to 13.6 GB on
+    a 1.05 Gbp run, so the cache is byte-capped (``SEDEF_INDEX_CACHE_GB``,
+    default 8): least-recently-used entries are dropped and rebuilt on
+    re-touch (a job's working set is the 2 super-bins in flight, well
+    under the cap).  Thread-safe for the -j fan-out; an evicted index a
+    running job still references stays alive through that reference."""
 
     def __init__(self, fr: FastaReference, cfg: Config,
-                 use_device: bool | None = None):
+                 use_device: bool | None = None,
+                 max_bytes: int | None = None):
+        import os
         self.fr = fr
         self.cfg = cfg
         self.use_device = auto_device() if use_device is None else use_device
-        self._cache: dict[tuple[str, bool], MinimizerIndex] = {}
+        if max_bytes is None:
+            max_bytes = int(float(os.environ.get(
+                "SEDEF_INDEX_CACHE_GB", "8")) * (1 << 30))
+        self.max_bytes = max_bytes
+        from collections import OrderedDict
+        self._cache: OrderedDict[tuple[str, bool], MinimizerIndex] = \
+            OrderedDict()
+        self._bytes = 0
+        self.evictions = 0
         import threading
         self._lock = threading.Lock()
         self._building: dict[tuple[str, bool], object] = {}
@@ -68,6 +95,7 @@ class IndexCache:
         with self._lock:
             idx = self._cache.get(key)
             if idx is not None:
+                self._cache.move_to_end(key)
                 return idx
             ev = self._building.get(key)
             if ev is None:
@@ -79,14 +107,26 @@ class IndexCache:
         if not builder:
             ev.wait()
             with self._lock:
-                return self._cache[key]
+                idx = self._cache.get(key)
+                if idx is not None:
+                    return idx
+            # built entry was evicted before we woke: build our own copy
+            return MinimizerIndex(
+                PackedSeq(name, self.fr.get_sequence(name), is_rc=is_rc),
+                self.cfg.search.kmer_size, self.cfg.search.window_size,
+                use_device=self.use_device)
         idx = MinimizerIndex(
             PackedSeq(name, self.fr.get_sequence(name), is_rc=is_rc),
             self.cfg.search.kmer_size, self.cfg.search.window_size,
             use_device=self.use_device)
         with self._lock:
             self._cache[key] = idx
+            self._bytes += _index_nbytes(idx)
             del self._building[key]
+            while self._bytes > self.max_bytes and len(self._cache) > 1:
+                old_key, old = self._cache.popitem(last=False)
+                self._bytes -= _index_nbytes(old)
+                self.evictions += 1
         ev.set()
         return idx
 

@@ -171,3 +171,33 @@ def test_bucket_stage_lexicographic_bin_order():
     keys = [(2, 0), (10, 0), (1, 11), (1, 2)]
     ordered = sorted(keys, key=_tmp_bin_name)
     assert ordered == [(10, 0), (1, 11), (1, 2), (2, 0)]
+
+
+def test_index_cache_lru_eviction(tmp_path):
+    """A byte-capped IndexCache evicts LRU entries yet search output stays
+    identical — evicted chromosomes are rebuilt on re-touch."""
+    from sedef_tpu.config import DEFAULT
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
+    from sedef_tpu.models.pipeline import IndexCache, search_stage
+
+    chroms, _ = simulate_genome(400_000, 4, n_chroms=4, seed=5)
+    fa = tmp_path / "g.fa"
+    write_fasta(str(fa), chroms)
+    fr = FastaReference(str(fa))
+    # tiny bins so many (bin_i, bin_j) jobs touch many chromosomes
+    bins = generate_translation(fr, max_size=120_000)
+    assert len(bins) >= 3
+
+    unbounded = IndexCache(fr, DEFAULT, use_device=False)
+    seeds_ref = search_stage(fr, bins, DEFAULT, use_device=False,
+                             cache=unbounded)
+    assert unbounded.evictions == 0
+
+    capped = IndexCache(fr, DEFAULT, use_device=False,
+                        max_bytes=1_500_000)  # ~2 entries of ~700 KB
+    seeds_lru = search_stage(fr, bins, DEFAULT, use_device=False,
+                             cache=capped)
+    assert capped.evictions > 0
+    assert capped._bytes <= capped.max_bytes or len(capped._cache) == 1
+    assert seeds_lru == seeds_ref
