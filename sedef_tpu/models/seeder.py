@@ -604,7 +604,8 @@ def prepare_device_search(query_hash: MinimizerIndex,
         results = _device_roll_results(query_hash, ref_hash, plan, cfg)
         return PreparedSearch(plan, results, None, "device-roll", names,
                               (len(steps), total_steps))
-    if (len(plan[1]) and PREFILTER_ON
+    from ..devhealth import tripped
+    if (len(plan[1]) and PREFILTER_ON and not tripped()
             and total_steps >= PREFILTER_MIN_STEPS):
         pending = _device_prefilter_dispatch(query_hash, ref_hash, plan,
                                              cfg)

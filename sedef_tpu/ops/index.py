@@ -30,10 +30,18 @@ class MinimizerIndex:
         self.window_size = window_size
         dev = None
         if use_device and separate_lowercase:
-            # full index build (winnow + posting sort) as one device call
+            # full index build (winnow + posting sort) as one device call,
+            # under the device-health deadline: a tunnel outage falls back
+            # to the host scan instead of hanging the pipeline
+            from ..devhealth import call_with_timeout, trip, tripped
             from .winnow_device import device_index_arrays
-            dev = device_index_arrays(seq.code, seq.cls, kmer_size,
-                                      window_size)
+            if not tripped():
+                dev, alive = call_with_timeout(
+                    lambda: device_index_arrays(seq.code, seq.cls,
+                                                kmer_size, window_size))
+                if not alive:
+                    trip("device index build exceeded the deadline")
+                    dev = None
         if dev is not None:
             keys, locs, skeys, slocs = dev
             self.keys = keys

@@ -148,13 +148,30 @@ class PendingPrefilter:
         self._s_all, self._limit, self._qovf = s_all, limit, qovf
 
     def collect(self):
-        """Block on the device results; returns (best_j, best_steps, ok)."""
+        """Block on the device results; returns (best_j, best_steps, ok).
+
+        The pull runs under the device-health deadline: if the tunnel is
+        in an outage, the breaker trips and every interval returns
+        ok=False — the host rolls them all (byte-identical, just without
+        the device pruning)."""
         n = self._n
         if n == 0 or self._pending is None:
             return self._bj, self._bs, self._ok
+        from ..devhealth import call_with_timeout, trip
+
+        pending = self._pending
+
+        def pull():
+            return [np.asarray(out)[:m].astype(np.int64)
+                    for _, m, out in pending]
+
+        pulled, alive = call_with_timeout(pull)
+        if not alive:
+            trip("prefilter collect exceeded the device deadline")
+            self._pending = None
+            return self._bj, self._bs, self._ok  # ok all-False: host rolls
         ideal_max = np.zeros(n, np.int64)
-        for part, m, out in self._pending:
-            vals = np.asarray(out)[:m].astype(np.int64)
+        for (part, m, out), vals in zip(self._pending, pulled):
             np.maximum.at(ideal_max, self._row_iv[part], vals)
         limit = np.asarray(self._limit)[:n].astype(np.int64)
         qovf = np.asarray(self._qovf)[:n]
