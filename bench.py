@@ -138,6 +138,31 @@ def prefilter_metrics() -> dict:
     return out
 
 
+def _device_healthy(retries: int = 8, wait_s: float = 120.0) -> bool:
+    """Probe the tunneled chip with a trivial jit round trip under a
+    deadline; retry through transient outages (observed live: multi-minute
+    execution hangs while the compile service stays up).  Returns False —
+    and the bench falls back to the CPU row with an outage marker — only
+    if the device stays unresponsive for ~retries*wait_s."""
+    import jax
+    import jax.numpy as jnp
+
+    from sedef_tpu import devhealth
+
+    def probe():
+        f = jax.jit(lambda v: (v * 2).sum())
+        return float(f(jnp.ones((8, 128))))
+
+    for attempt in range(retries):
+        _, alive = devhealth.call_with_timeout(probe, timeout=90)
+        if alive:
+            return True
+        print(f"bench: device probe {attempt + 1}/{retries} timed out; "
+              "retrying", flush=True)
+        time.sleep(wait_s)
+    return False
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -149,6 +174,10 @@ def main() -> None:
 
     enable_compilation_cache()
     on_tpu = jax.default_backend() not in ("cpu",)
+    device_outage = False
+    if on_tpu and not _device_healthy():
+        on_tpu = False
+        device_outage = True
     L = 1024
     rng = np.random.default_rng(0)
     if on_tpu:
@@ -180,9 +209,13 @@ def main() -> None:
         B, N = 2, 2
         from sedef_tpu.ops.wavefront import _padded_rows
         n_rows = _padded_rows(L, L)
+        # when the TPU is present but in an outage, compile for the host
+        # CPU instead (placement drives the compile target)
+        cpu0 = jax.devices("cpu")[0] if device_outage else None
         q = jax.device_put(
-            rng.integers(0, 4, (B, n_rows)).astype(np.int32))
-        t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8))
+            rng.integers(0, 4, (B, n_rows)).astype(np.int32), cpu0)
+        t = jax.device_put(rng.integers(0, 4, (B, L)).astype(np.int8),
+                           cpu0)
 
         @jax.jit
         def run_chain(q, t):
@@ -210,6 +243,8 @@ def main() -> None:
         "gcups_min": round(min(samples), 1),
         "gcups_max": round(max(samples), 1),
     }
+    if device_outage:
+        extra["device_outage"] = True
     if on_tpu:
         try:
             extra.update(e2e_metrics())

@@ -1791,7 +1791,8 @@ class WavefrontAligner:
             # stragglers go to the native scalar DP
             device_idx = []
             native_idx = []
-            giant_ok = self.use_tpu and (
+            from ..devhealth import tripped
+            giant_ok = self.use_tpu and not tripped() and (
                 self.interpret or jax.default_backend() != "cpu")
             for idx, (qc, tc) in enumerate(pairs):
                 cells = (len(qc) + len(tc)) * max(len(tc), 1)
@@ -1802,7 +1803,7 @@ class WavefrontAligner:
                     device_idx.append(idx)
                 else:
                     native_idx.append(idx)
-            if (self.use_tpu and not self.interpret
+            if (self.use_tpu and not self.interpret and not tripped()
                     and len(native_idx) >= self.DEVICE_BATCH_MIN):
                 device_idx += native_idx
                 native_idx = []
@@ -1826,6 +1827,38 @@ class WavefrontAligner:
                 results[idx] = backtrack_np(p, len(qc), len(tc))
             return results
         return self._align_batch_device(pairs)
+
+    def _host_fallback(self, pairs, idxs, results) -> None:
+        """Exact host path for a device batch (breaker fallback): native
+        scalar DP where available, NumPy otherwise."""
+        from ..native import lib as native
+        use_native = native is not None and native.has("align")
+        for idx in idxs:
+            qc, tc = pairs[idx]
+            if len(qc) == 0 or len(tc) == 0:
+                results[idx] = _degenerate_cigar(len(qc), len(tc))
+            elif use_native:
+                results[idx] = native.align(
+                    qc.astype(np.uint8), tc.astype(np.uint8),
+                    self.match, self.mis, self.gapo, self.gape)
+            else:  # pragma: no cover - native always built in CI
+                p, _ = wavefront_np(qc, tc, self.match, self.mis,
+                                    self.gapo, self.gape)
+                results[idx] = backtrack_np(p, len(qc), len(tc))
+
+    def _device_pull(self, fn):
+        """Run a blocking device pull under the health deadline; None
+        means the breaker tripped and the caller must host-fallback."""
+        if self.interpret:
+            return fn()
+        from ..devhealth import call_with_timeout, trip, tripped
+        if tripped():
+            return None
+        out, alive = call_with_timeout(fn)
+        if not alive:
+            trip("align-stage device pull exceeded the deadline")
+            return None
+        return out
 
     def _align_batch_device(self, pairs: list[tuple[np.ndarray, np.ndarray]]
                             ) -> list[list[tuple[str, int]]]:
@@ -1901,10 +1934,13 @@ class WavefrontAligner:
                 continue
             # fused fill + on-device traceback: the direction matrix stays
             # in HBM; only a 2-bit op code per anti-diagonal is transferred
-            ops = np.asarray(wavefront_cigar_device(
+            ops = self._device_pull(lambda: np.asarray(wavefront_cigar_device(
                 jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
                 jnp.asarray(tl), S_q, S_t, self.match, self.mis, self.gapo,
-                self.gape, interpret=self.interpret, G=G, SUB=SUB))
+                self.gape, interpret=self.interpret, G=G, SUB=SUB)))
+            if ops is None:
+                self._host_fallback(pairs, idxs, results)
+                continue
             for bi, idx in enumerate(idxs):
                 qc, tc = pairs[idx]
                 results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
@@ -1931,10 +1967,15 @@ class WavefrontAligner:
                 tgts[bi, :len(tc)] = tc
                 ql[bi] = len(qc)
                 tl[bi] = len(tc)
-            ops = np.asarray(wavefront_cigar_pipelined(
-                jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
-                jnp.asarray(tl), S_q, S_t, K, self.match, self.mis,
-                self.gapo, self.gape, SUB=SUB, interpret=self.interpret))
+            ops = self._device_pull(
+                lambda: np.asarray(wavefront_cigar_pipelined(
+                    jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
+                    jnp.asarray(tl), S_q, S_t, K, self.match, self.mis,
+                    self.gapo, self.gape, SUB=SUB,
+                    interpret=self.interpret)))
+            if ops is None:
+                self._host_fallback(pairs, part, results)
+                continue
             for bi, idx in enumerate(part):
                 qc, tc = pairs[idx]
                 results[idx] = cigar_from_packed_ops(ops[bi], len(qc),
@@ -1975,11 +2016,15 @@ class WavefrontAligner:
                     tgts[bi, :len(tc)] = tc
                     ql[bi] = len(qc)
                     tl[bi] = len(tc)
-                ops = np.asarray(wavefront_cigar_tiled_pipelined(
-                    jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
-                    jnp.asarray(tl), S_q, S_t, K, self.match, self.mis,
-                    self.gapo, self.gape, SUB=SUB, TILE=TILE,
-                    interpret=self.interpret))
+                ops = self._device_pull(
+                    lambda: np.asarray(wavefront_cigar_tiled_pipelined(
+                        jnp.asarray(qseq), jnp.asarray(tgts),
+                        jnp.asarray(ql), jnp.asarray(tl), S_q, S_t, K,
+                        self.match, self.mis, self.gapo, self.gape,
+                        SUB=SUB, TILE=TILE, interpret=self.interpret)))
+                if ops is None:
+                    self._host_fallback(pairs, part, results)
+                    continue
                 for bi, idx in enumerate(part):
                     qc, tc = pairs[idx]
                     results[idx] = cigar_from_ops(ops[bi], len(qc),
@@ -2008,10 +2053,13 @@ class WavefrontAligner:
             ql[bi] = len(qc)
             tl[bi] = len(tc)
         TILE = 4096 if S_q + S_t - 1 >= 4096 else 1024
-        ops = np.asarray(wavefront_cigar_tiled(
+        ops = self._device_pull(lambda: np.asarray(wavefront_cigar_tiled(
             jnp.asarray(qseq), jnp.asarray(tgts), jnp.asarray(ql),
             jnp.asarray(tl), S_q, S_t, self.match, self.mis, self.gapo,
-            self.gape, SUB=SUB, TILE=TILE, interpret=self.interpret))
+            self.gape, SUB=SUB, TILE=TILE, interpret=self.interpret)))
+        if ops is None:
+            self._host_fallback(pairs, idxs, results)
+            return
         for bi, idx in enumerate(idxs):
             qc, tc = pairs[idx]
             results[idx] = cigar_from_ops(ops[bi], len(qc), len(tc),
