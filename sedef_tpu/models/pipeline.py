@@ -173,7 +173,8 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
                  cfg: Config = DEFAULT, use_device: bool | None = None,
                  progress=None, jobs: int = 1,
                  device_assignment: list | None = None,
-                 cache: "IndexCache | None" = None) -> list[str]:
+                 cache: "IndexCache | None" = None,
+                 sink=None) -> "list[str] | int":
     """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
 
     ``jobs > 1`` fans the independent pair jobs over a thread pool (the
@@ -181,7 +182,14 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     threads scale like the reference's processes without duplicating the
     genome per worker).  Output order stays deterministic.
     ``device_assignment`` (out-param) receives the per-job device index
-    chosen by the multi-chip schedule."""
+    chosen by the multi-chip schedule.
+
+    ``sink`` streams the output: it is called once per pair job, in
+    deterministic job order, with that job's seed lines, and the return
+    value is the total line count instead of a list — the analog of the
+    reference's per-job ``seeds/{i}_{j}_{m}.bed`` redirects
+    (sedef.sh:137), bounding stage-1 output memory by one job instead of
+    the genome-wide seed set."""
     nbins = len(bins)
     todo = [(i, j, is_rc)
             for j in range(nbins)
@@ -227,18 +235,30 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
                              use_device, cache)
         return out, time.time() - t0
 
+    lines: list[str] = []
+    total = 0
+
+    def consume(results_iter):
+        nonlocal total
+        for (i, j, is_rc), (job, dt) in zip(todo, results_iter):
+            if sink is None:
+                lines.extend(job)
+            else:
+                sink(job)
+            total += len(job)
+            if progress:
+                progress(i, j, is_rc, len(job), dt)
+
     if jobs <= 1:
-        results = [timed(t, k) for k, t in enumerate(todo)]
+        consume(timed(t, k) for k, t in enumerate(todo))
     else:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            results = list(ex.map(timed, todo, range(len(todo))))
-    lines: list[str] = []
-    for (i, j, is_rc), (job, dt) in zip(todo, results):
-        lines.extend(job)
-        if progress:
-            progress(i, j, is_rc, len(job), dt)
-    return lines
+            # lazy: completed jobs stream to the sink as soon as every
+            # earlier job has been consumed, instead of materializing all
+            # job outputs before the first write
+            consume(ex.map(timed, todo, range(len(todo))))
+    return total if sink is not None else lines
 
 
 def _tmp_bin_name(key: tuple[int, int]) -> str:
@@ -472,8 +492,9 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
     from ..ops import filter as filt
     seeds_path = os.path.join(out_dir, "seeds.bed")
     if _done("seeds", seeds_path):
-        seed_lines = open(seeds_path).read().splitlines()
-        _eprn(f"[search] resumed  {len(seed_lines)} seeds", quiet)
+        with open(seeds_path) as f:
+            n_seeds = sum(1 for line in f if line.strip())
+        _eprn(f"[search] resumed  {n_seeds} seeds", quiet)
     else:
         t0 = time.time()
         # per-job completion audit + TIMING rows (sedef.sh:137-158: the
@@ -492,8 +513,15 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                 print(f"\r[search] {len(job_rows)}/{expected} pair jobs",
                       end="", file=sys.stderr, flush=True)
 
-        seed_lines = search_stage(fr, bins, cfg, use_device=use_device,
-                                  jobs=jobs, progress=_audit)
+        # stream each job's seeds straight to disk (the reference's
+        # per-job seeds/*.bed redirects, sedef.sh:137): stage-1 output
+        # memory is bounded by one pair job, not the genome's seed set
+        with open(seeds_path, "w") as seeds_f:
+            n_seeds = search_stage(
+                fr, bins, cfg, use_device=use_device, jobs=jobs,
+                progress=_audit,
+                sink=lambda job: seeds_f.writelines(
+                    ln + "\n" for ln in job))
         if not quiet:
             print("", file=sys.stderr)
         with open(os.path.join(out_dir, "seeds.joblog"), "w") as f:
@@ -510,14 +538,12 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
             rss_mb = -1
         _eprn(f"[search] single-core job time: {sum(job_secs):.1f}s over "
               f"{len(job_secs)} jobs; peak RSS: {rss_mb} MB", quiet)
-        _eprn(f"[search] {time.time() - t0:8.1f}s  {len(seed_lines)} seeds  "
+        _eprn(f"[search] {time.time() - t0:8.1f}s  {n_seeds} seeds  "
               f"(attempts={filt.COUNTERS['total']} "
               f"jaccard-fail={filt.COUNTERS['jaccard']} "
               f"interval-fail={filt.COUNTERS['interval']} "
               f"lowercase-fail={filt.COUNTERS['lowercase']} "
               f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
-        with open(seeds_path, "w") as f:
-            f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
         open(_ok("seeds"), "w").close()
 
     aligned_path = os.path.join(out_dir, "aligned.bed")
@@ -526,8 +552,10 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         _eprn(f"[align]  resumed  {len(aligned)} alignments", quiet)
     else:
         t0 = time.time()
-        buckets = bucket_stage(seed_lines, fr, bins, nbuckets, cfg,
-                               tmp_dir=os.path.join(out_dir, "align_tmp"))
+        with open(seeds_path) as seeds_f:
+            buckets = bucket_stage(seeds_f, fr, bins, nbuckets, cfg,
+                                   tmp_dir=os.path.join(out_dir,
+                                                        "align_tmp"))
         _eprn(f"[bucket] {time.time() - t0:8.1f}s  "
               f"{sum(len(b) for b in buckets)} regions", quiet)
 

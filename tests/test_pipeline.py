@@ -201,3 +201,30 @@ def test_index_cache_lru_eviction(tmp_path):
     assert capped.evictions > 0
     assert capped._bytes <= capped.max_bytes or len(capped._cache) == 1
     assert seeds_lru == seeds_ref
+
+
+def test_search_stage_sink_streams_identical(tmp_path):
+    """sink mode streams per-job seed lines in deterministic job order and
+    returns the total count — byte-identical to the list mode."""
+    from sedef_tpu.config import DEFAULT
+    from sedef_tpu.io.fasta import FastaReference, generate_translation
+    from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
+    from sedef_tpu.models.pipeline import search_stage
+
+    chroms, _ = simulate_genome(400_000, 4, n_chroms=2, seed=6)
+    fa = tmp_path / "g.fa"
+    write_fasta(str(fa), chroms)
+    fr = FastaReference(str(fa))
+    bins = generate_translation(fr, max_size=250_000)
+
+    as_list = search_stage(fr, bins, DEFAULT, use_device=False)
+    assert len(as_list) > 0
+
+    streamed: list[str] = []
+    jobs_seen = []
+    n = search_stage(fr, bins, DEFAULT, use_device=False, jobs=2,
+                     sink=lambda job: (streamed.extend(job),
+                                       jobs_seen.append(len(job))))
+    assert n == len(as_list)
+    assert streamed == as_list
+    assert sum(jobs_seen) == n
