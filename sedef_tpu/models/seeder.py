@@ -460,11 +460,16 @@ ROLL_DEVICE_MIN = int(__import__("os").environ.get(
 # SEDEF_NO_PREFILTER=1.
 PREFILTER_ON = __import__("os").environ.get("SEDEF_NO_PREFILTER", "") == ""
 
-# dispatch floor: below this many planned roll steps the host finishes
-# the rolls faster than one device round trip (~ms); keep small batches
-# on host.  Override with SEDEF_PREFILTER_MIN_STEPS.
+# dispatch floor, in planned roll steps per chromosome pair.  Measured
+# calibration (v5e via the axon tunnel): the host scalar engine rolls
+# ~27M steps/s/core, while a prefilter dispatch costs ~0.1-0.45 s of
+# device time (mostly overlappable) plus ~10 ms host prep — so below ~1M
+# planned steps the host rolls are cheaper than even the overlapped
+# device bound, and pairs stay host-only.  Above it the rolls are heavy
+# enough that pruning ~half of them off the host's critical path wins.
+# Override with SEDEF_PREFILTER_MIN_STEPS.
 PREFILTER_MIN_STEPS = int(__import__("os").environ.get(
-    "SEDEF_PREFILTER_MIN_STEPS", 1 << 16))
+    "SEDEF_PREFILTER_MIN_STEPS", 1 << 20))
 
 
 _ROLL_ENGINES: dict = {}
@@ -491,9 +496,9 @@ def _device_prefilter_dispatch(query_hash: MinimizerIndex,
                            cfg.search.min_read_size)
         _PREFILTERS[(k, cfg.search.min_read_size, id(cfg))] = pf
     qk, _ = query_hash.device_arrays()
-    rk, rl = ref_hash.device_arrays()
+    rk, _ = ref_hash.device_arrays()
     woff = np.repeat(np.arange(len(win)), win[:, 3])
-    return pf.dispatch(qk, rk, rl, ref_hash.locs,
+    return pf.dispatch(qk, rk, ref_hash.locs,
                        win[woff, 1], win[woff, 2],
                        iv[:, 0], iv[:, 2], iv[:, 4])
 

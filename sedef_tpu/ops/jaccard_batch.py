@@ -31,6 +31,48 @@ import numpy as np
 INF = np.int32(2 ** 31 - 1)
 
 
+def merge_rank_intersection(q_keys: jax.Array, r_keys: jax.Array,
+                            q_size: jax.Array) -> jax.Array:
+    """Core union-rank reduction: tagged concat-sort, NO per-element
+    binary searches.
+
+    A vmapped ``searchsorted`` membership probe lowers to per-element
+    gather chains on TPU and measures ~36x slower than one bitonic sort
+    of the concatenated rows at production batch shapes (131072 rows:
+    2.28 s vs 0.064 s on v5e) — so instead each row's query and ref keys
+    are tagged into one array (``key*2 + side``; query side sorts first
+    for equal keys), sorted once, and scanned with vector compares and a
+    cumulative sum:
+
+    * a DISTINCT union element starts wherever ``key`` changes
+      (``new_key``); its 0-based distinct rank is ``cumsum(new_key)-1``;
+    * a SHARED key is a query-side element immediately followed by the
+      same key (the only query occurrence sorts before the ref copies),
+      counted iff its rank is below ``q_size`` (sketch boundary,
+      inclusive).
+
+    q_keys rows must be sorted and DISTINCT (INF-padded); r_keys rows
+    sorted, INF-padded, duplicates allowed (they collapse via new_key).
+    Tag headroom: packed (status, hash) keys use 2k+2 <= 30 bits for
+    k <= 14, so key*2+1 < 2^31 never wraps and INF (2^31-1) stays the
+    largest value.
+    """
+    B = q_keys.shape[0]
+    aq = jnp.where(q_keys == INF, INF, q_keys * 2)
+    ar = jnp.where(r_keys == INF, INF, r_keys * 2 + 1)
+    arr = jnp.sort(jnp.concatenate([aq, ar], axis=1), axis=1)
+    key = arr >> 1
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), key[:, :-1]], axis=1)
+    new_key = (key != prev) & (arr != INF)
+    rank = jnp.cumsum(new_key.astype(jnp.int32), axis=1) - 1
+    nxt = jnp.concatenate(
+        [key[:, 1:], jnp.full((B, 1), -2, jnp.int32)], axis=1)
+    shared = new_key & ((arr & 1) == 0) & (nxt == key)
+    return ((shared & (rank < q_size[:, None]))
+            .sum(axis=1).astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def sketch_intersection(q_keys: jax.Array, r_keys: jax.Array,
                         q_size: jax.Array, r_size: jax.Array) -> jax.Array:
@@ -42,23 +84,7 @@ def sketch_intersection(q_keys: jax.Array, r_keys: jax.Array,
     Returns (B,) int32: |{k in Q ∩ R : rank_union(k) < |Q|}| — the count of
     shared keys inside the |Q|-smallest union window (boundary inclusive).
     """
-
-    def one(q, r, s, m):
-        # membership of each q-key in R
-        pos = jnp.searchsorted(r, q)
-        pos_c = jnp.clip(pos, 0, r.shape[0] - 1)
-        member = (r[pos_c] == q) & (q < INF)
-        # distinct union rank of q_i = i + (#R < q_i) - (#common < q_i)
-        r_less = pos  # since r sorted and q not equal below pos
-        common_below = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(member.astype(jnp.int32))]
-        )[:-1]
-        idx = jnp.arange(q.shape[0], dtype=jnp.int32)
-        rank = idx + r_less.astype(jnp.int32) - common_below
-        inside = member & (rank < s) & (idx < s)
-        return inside.sum().astype(jnp.int32)
-
-    return jax.vmap(one)(q_keys, r_keys, q_size, r_size)
+    return merge_rank_intersection(q_keys, r_keys, q_size)
 
 
 def windows_to_arrays(window_key_sets: list[np.ndarray], pad_to: int

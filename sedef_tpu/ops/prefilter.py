@@ -88,18 +88,18 @@ def _window_sketches(q_keys, qws, qwe, limit_lut, SQ: int):
     return qk, s, limit, (qwe - qws) > SQ
 
 
-@functools.partial(jax.jit, static_argnames=("RW", "n_shift", "L"))
-def _composition_ideals(r_keys, r_locs, qk_all, s_all, rs, iv_id,
-                        RW: int, n_shift: int, L: int):
+@functools.partial(jax.jit, static_argnames=("RW", "n_shift"))
+def _composition_ideals(r_keys, qk_all, s_all, a, b, iv_id,
+                        RW: int, n_shift: int):
     """Ideal sketch intersection for one batch of composition rows.
 
-    rs (N,) int32 window-start offsets; iv_id (N,) int32 interval index
-    into qk_all/s_all.  Returns (N,) int32 ideal counts, or INF32 where
-    the window overflowed RW (no bound for that row)."""
-    N = rs.shape[0]
+    a/b (N,) int32: each window's [a, b) minimizer range in locus order
+    (computed HOST-side — a device ``searchsorted`` is a per-element
+    binary-search gather chain on TPU and measured ~1.5 s per 131072-row
+    batch); iv_id (N,) int32 interval index into qk_all/s_all.  Returns
+    (N,) int32 ideal counts, or INF32 where the window overflowed RW (no
+    bound for that row)."""
     nrr = r_keys.shape[0]
-    a = jnp.searchsorted(r_locs, rs, side="left").astype(jnp.int32)
-    b = jnp.searchsorted(r_locs, rs + L, side="left").astype(jnp.int32)
     ovf = (b - a) > RW
 
     gi = a[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, RW), 1)
@@ -109,17 +109,15 @@ def _composition_ideals(r_keys, r_locs, qk_all, s_all, rs, iv_id,
     # HAS_N ref keys are never added to the sketch (sliding.cc:158-168)
     keys_w = jnp.where((keys_w >> n_shift) == 2, INF32, keys_w)
     keys_w = jnp.sort(keys_w, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((N, 1), bool), keys_w[:, 1:] == keys_w[:, :-1]], axis=1)
-    keys_w = jnp.sort(jnp.where(dup, INF32, keys_w), axis=1)
 
     qk = jnp.take(qk_all, iv_id, axis=0)          # (N, SQ)
     s = jnp.take(s_all, iv_id)
 
     # ideal = |{k in Q ∩ R : rank_union(k) < s}| — the canonical batched
-    # union-rank reduction (ops/jaccard_batch.py sketch_intersection)
-    from .jaccard_batch import sketch_intersection
-    ideal = sketch_intersection(qk, keys_w, s, s)
+    # union-rank reduction; duplicate window keys collapse inside it, so
+    # no separate dedup pass is needed
+    from .jaccard_batch import merge_rank_intersection
+    ideal = merge_rank_intersection(qk, keys_w, s)
     return jnp.where(ovf, INF32, ideal)
 
 
@@ -199,15 +197,15 @@ class RollPrefilter:
         self.SQ = SQ
         self.RW = RW
 
-    def run(self, q_keys_dev, r_keys_dev, r_locs_dev,
+    def run(self, q_keys_dev, r_keys_dev,
             r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps):
         """Verdicts for all planned intervals (plan order) — dispatch +
         blocking collect."""
-        return self.dispatch(q_keys_dev, r_keys_dev, r_locs_dev,
+        return self.dispatch(q_keys_dev, r_keys_dev,
                              r_locs_host, qws, qwe, t0, rws0,
                              n_steps).collect()
 
-    def dispatch(self, q_keys_dev, r_keys_dev, r_locs_dev,
+    def dispatch(self, q_keys_dev, r_keys_dev,
                  r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps
                  ) -> PendingPrefilter:
         """Launch the device dispatches for all planned intervals (plan
@@ -259,7 +257,15 @@ class RollPrefilter:
         ])
         row_iv = np.concatenate([row_iv1, row_iv1,
                                  np.arange(n, dtype=np.int32)])
-        rs_events = rs_events.astype(np.int32)
+        rs_events = rs_events.astype(np.int64)
+
+        # window [a, b) minimizer bounds on HOST (np.searchsorted over the
+        # unpadded loci) — the former on-device searchsorted was the
+        # dominant batch cost (binary-search gather chains)
+        wa = np.searchsorted(r_locs_host, rs_events,
+                             side="left").astype(np.int32)
+        wb = np.searchsorted(r_locs_host, rs_events + self.L,
+                             side="left").astype(np.int32)
 
         # ---- batched ideal evaluation (async dispatches) ----
         N = len(rs_events)
@@ -274,14 +280,16 @@ class RollPrefilter:
             part = slice(offv, min(offv + B, N))
             m = part.stop - part.start
             pad = B - m
-            rs_b = rs_events[part]
+            a_b = wa[part]
+            b_b = wb[part]
             iv_b = row_iv[part]
             if pad:
-                rs_b = np.concatenate([rs_b, np.zeros(pad, np.int32)])
+                a_b = np.concatenate([a_b, np.zeros(pad, np.int32)])
+                b_b = np.concatenate([b_b, np.zeros(pad, np.int32)])
                 iv_b = np.concatenate([iv_b, np.zeros(pad, np.int32)])
             out = _composition_ideals(
-                r_keys_dev, r_locs_dev, qk_all, s_all,
-                rs_b, iv_b, RW=self.RW, n_shift=self.n_shift, L=self.L)
+                r_keys_dev, qk_all, s_all, a_b, b_b, iv_b,
+                RW=self.RW, n_shift=self.n_shift)
             pending.append((part, m, out))
             offv = part.stop
 
