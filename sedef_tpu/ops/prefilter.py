@@ -65,6 +65,7 @@ INF32 = np.int32(2**31 - 1)
 
 DEFAULT_SQ = 160   # max distinct query-window keys
 DEFAULT_RW = 192   # max minimizers inside one init_len window
+DEFAULT_SA = 1024  # max minimizers inside one interval SPAN (phase A)
 ROW_BATCHES = (8192, 131072)  # composition rows per dispatch (2 compiles)
 
 
@@ -86,6 +87,32 @@ def _window_sketches(q_keys, qws, qwe, limit_lut, SQ: int):
     s = jnp.sum(qk != INF32, axis=1).astype(jnp.int32)
     limit = limit_lut[jnp.minimum(s, limit_lut.shape[0] - 1)]
     return qk, s, limit, (qwe - qws) > SQ
+
+
+@functools.partial(jax.jit, static_argnames=("SA", "n_shift"))
+def _span_intersections(r_keys, qk_all, sa, sb, SA: int, n_shift: int):
+    """Phase A: plain distinct-intersection bound per interval.
+
+    For any window W inside an interval's span, ideal(Q, R_W) <=
+    |Q ∩ R_W| <= |Q ∩ R_span| — so one row per INTERVAL (vs one per
+    window composition) proves most fail-heavy intervals dead before any
+    composition row is built.  sa/sb (B,) int32: the span's [sa, sb)
+    minimizer range (host-computed).  Rows align 1:1 with qk_all (no
+    interval gather).  Returns (B,) int32 |Q ∩ R_span|, INF32 where the
+    span overflowed SA (no bound)."""
+    nrr = r_keys.shape[0]
+    ovf = (sb - sa) > SA
+    gi = sa[:, None] + jax.lax.broadcasted_iota(jnp.int32, (1, SA), 1)
+    val = gi < sb[:, None]
+    keys_w = jnp.where(val, jnp.take(r_keys, jnp.minimum(gi, nrr - 1)),
+                       INF32)
+    keys_w = jnp.where((keys_w >> n_shift) == 2, INF32, keys_w)
+    keys_w = jnp.sort(keys_w, axis=1)
+    from .jaccard_batch import merge_rank_intersection
+    # rank condition disabled (s = row width): plain intersection count
+    full = jnp.full(sa.shape, np.int32(qk_all.shape[1] + SA))
+    inter = merge_rank_intersection(qk_all, keys_w, full)
+    return jnp.where(ovf, INF32, inter)
 
 
 @functools.partial(jax.jit, static_argnames=("RW", "n_shift"))
@@ -138,46 +165,66 @@ class PendingPrefilter:
     trips of one chromosome pair with the host planning/searching of the
     next (models/pipeline.py search_job two-phase loop)."""
 
-    def __init__(self, n, bj, bs, ok, row_iv, pending, s_all, limit, qovf):
+    def __init__(self, pf, n, bj, bs, ok, ctx):
+        self._pf = pf
         self._n = n
         self._bj, self._bs, self._ok = bj, bs, ok
-        self._row_iv = row_iv
-        self._pending = pending
-        self._s_all, self._limit, self._qovf = s_all, limit, qovf
+        self._ctx = ctx
 
     def collect(self):
         """Block on the device results; returns (best_j, best_steps, ok).
 
-        The pull runs under the device-health deadline: if the tunnel is
-        in an outage, the breaker trips and every interval returns
-        ok=False — the host rolls them all (byte-identical, just without
-        the device pruning)."""
+        Phase A (one span-bound row per interval, dispatched async) is
+        pulled first; composition rows (phase B) are built and dispatched
+        ONLY for the phase-A survivors — rows are the device cost driver,
+        and on fail-heavy workloads phase A kills most of them for ~1% of
+        the cost.  The pulls run under the device-health deadline: if the
+        tunnel is in an outage, the breaker trips and the not-yet-proven
+        intervals return ok=False — the host rolls them (byte-identical,
+        just without the device pruning)."""
         n = self._n
-        if n == 0 or self._pending is None:
+        if n == 0 or self._ctx is None:
             return self._bj, self._bs, self._ok
         from ..devhealth import call_with_timeout, trip
 
-        pending = self._pending
+        ctx = self._ctx
+        self._ctx = None
 
-        def pull():
-            return [np.asarray(out)[:m].astype(np.int64)
-                    for _, m, out in pending]
+        def pull_a():
+            return (np.asarray(ctx["span_i"])[:n].astype(np.int64),
+                    np.asarray(ctx["limit"])[:n].astype(np.int64),
+                    np.asarray(ctx["s_all"])[:n],
+                    np.asarray(ctx["qovf"])[:n])
 
-        pulled, alive = call_with_timeout(pull)
+        pulled, alive = call_with_timeout(pull_a)
         if not alive:
-            trip("prefilter collect exceeded the device deadline")
-            self._pending = None
-            return self._bj, self._bs, self._ok  # ok all-False: host rolls
-        ideal_max = np.zeros(n, np.int64)
-        for (part, m, out), vals in zip(self._pending, pulled):
-            np.maximum.at(ideal_max, self._row_iv[part], vals)
-        limit = np.asarray(self._limit)[:n].astype(np.int64)
-        qovf = np.asarray(self._qovf)[:n]
-        verdict = ((~qovf) & (np.asarray(self._s_all)[:n] > 0)
-                   & (ideal_max < limit))
+            trip("prefilter phase-A pull exceeded the device deadline")
+            return self._bj, self._bs, self._ok  # all-False: host rolls
+        span_i, limit, s_all, qovf = pulled
+        eligible = (~qovf) & (s_all > 0)
+        verdict = eligible & (span_i < limit)
+
+        survivors = np.nonzero(eligible & ~verdict)[0].astype(np.int64)
+        if len(survivors):
+            pending, row_iv = self._pf._dispatch_compositions(
+                ctx, survivors)
+
+            def pull_b():
+                return [np.asarray(out)[:m].astype(np.int64)
+                        for _, m, out in pending]
+
+            pulled_b, alive = call_with_timeout(pull_b)
+            if not alive:
+                trip("prefilter phase-B pull exceeded the device "
+                     "deadline")  # phase-A prunes stand (proven)
+            else:
+                ideal_max = np.zeros(n, np.int64)
+                for (part, m, out), vals in zip(pending, pulled_b):
+                    np.maximum.at(ideal_max, row_iv[part], vals)
+                verdict[survivors] |= (ideal_max[survivors]
+                                       < limit[survivors])
         self._bj[verdict] = -1
         self._ok[:] = verdict
-        self._pending = None
         return self._bj, self._bs, self._ok
 
 
@@ -188,7 +235,8 @@ class RollPrefilter:
     Jaccard gate; ok=False (host rolls) everywhere else."""
 
     def __init__(self, kmer_size: int, limit_lut: np.ndarray,
-                 init_len: int, SQ: int = DEFAULT_SQ, RW: int = DEFAULT_RW):
+                 init_len: int, SQ: int = DEFAULT_SQ, RW: int = DEFAULT_RW,
+                 SA: int = DEFAULT_SA):
         if kmer_size > 14:
             raise ValueError("packed int32 keys need 2k+2 <= 30 (k <= 14)")
         self.n_shift = 2 * kmer_size
@@ -196,6 +244,7 @@ class RollPrefilter:
         self.L = int(init_len)
         self.SQ = SQ
         self.RW = RW
+        self.SA = SA
 
     def run(self, q_keys_dev, r_keys_dev,
             r_locs_host: np.ndarray, qws, qwe, t0, rws0, n_steps):
@@ -220,8 +269,7 @@ class RollPrefilter:
         bs = np.zeros(n, np.int32)
         ok = np.zeros(n, bool)
         if n == 0:
-            return PendingPrefilter(0, bj, bs, ok, None, None, None, None,
-                                    None)
+            return PendingPrefilter(self, 0, bj, bs, ok, None)
         qws = np.asarray(qws, np.int32)
         qwe = np.asarray(qwe, np.int32)
         t0 = np.asarray(t0, np.int64)
@@ -240,28 +288,55 @@ class RollPrefilter:
             q_keys_dev, jnp.asarray(qws_p), jnp.asarray(qwe_p),
             self.limit_lut, SQ=self.SQ)
 
-        # ---- composition rows: every distinct window the roll visits
-        # starts at t0 or at a (clamped) minimizer-boundary event ----
+        # ---- phase A: one span-bound row per interval (async) ----
+        # span [sa, sb) covers every window the roll can visit
+        sa = np.searchsorted(r_locs_host, t0,
+                             side="left").astype(np.int32)
         span_end = np.searchsorted(r_locs_host, t0 + n_steps + self.L,
                                    side="left").astype(np.int64)
-        span_n = np.maximum(span_end - rws0, 0)
-        idx = _ragged_arange(rws0, span_n)
+        sa_p = np.zeros(n_pad, np.int32)
+        sb_p = np.zeros(n_pad, np.int32)
+        sa_p[:n] = sa
+        sb_p[:n] = span_end.astype(np.int32)
+        span_i = _span_intersections(
+            r_keys_dev, qk_all, jnp.asarray(sa_p), jnp.asarray(sb_p),
+            SA=self.SA, n_shift=self.n_shift)
+
+        ctx = dict(span_i=span_i, limit=limit, s_all=s_all, qovf=qovf,
+                   qk_all=qk_all, r_keys_dev=r_keys_dev,
+                   r_locs_host=r_locs_host, t0=t0, rws0=rws0,
+                   n_steps=n_steps, span_end=span_end)
+        return PendingPrefilter(self, n, bj, bs, ok, ctx)
+
+    def _dispatch_compositions(self, ctx, survivors: np.ndarray):
+        """Phase B: composition rows for the phase-A survivor intervals.
+
+        Every distinct window the roll visits starts at t0 or at a
+        (clamped) minimizer-boundary event; each becomes one row of the
+        batched ideal evaluation.  Returns (pending, row_iv) for the
+        collector."""
+        r_locs_host = ctx["r_locs_host"]
+        t0, rws0 = ctx["t0"], ctx["rws0"]
+        n_steps, span_end = ctx["n_steps"], ctx["span_end"]
+
+        span_n = np.maximum(span_end - rws0, 0)[survivors]
+        idx = _ragged_arange(rws0[survivors], span_n)
         ev_loc = r_locs_host[idx].astype(np.int64)
-        row_iv1 = np.repeat(np.arange(n, dtype=np.int32), span_n)
+        row_iv1 = np.repeat(survivors.astype(np.int32), span_n)
         lo = t0[row_iv1]
         hi = t0[row_iv1] + n_steps[row_iv1]
         rs_events = np.concatenate([
             np.clip(ev_loc + 1, lo, hi),           # remove-boundary events
             np.clip(ev_loc - self.L + 1, lo, hi),  # add-boundary events
-            t0,                                    # the initial window
+            t0[survivors],                         # the initial window
         ])
         row_iv = np.concatenate([row_iv1, row_iv1,
-                                 np.arange(n, dtype=np.int32)])
+                                 survivors.astype(np.int32)])
         rs_events = rs_events.astype(np.int64)
 
         # window [a, b) minimizer bounds on HOST (np.searchsorted over the
-        # unpadded loci) — the former on-device searchsorted was the
-        # dominant batch cost (binary-search gather chains)
+        # unpadded loci) — an on-device searchsorted is a per-element
+        # binary-search gather chain and was the dominant batch cost
         wa = np.searchsorted(r_locs_host, rs_events,
                              side="left").astype(np.int32)
         wb = np.searchsorted(r_locs_host, rs_events + self.L,
@@ -288,10 +363,8 @@ class RollPrefilter:
                 b_b = np.concatenate([b_b, np.zeros(pad, np.int32)])
                 iv_b = np.concatenate([iv_b, np.zeros(pad, np.int32)])
             out = _composition_ideals(
-                r_keys_dev, qk_all, s_all, a_b, b_b, iv_b,
-                RW=self.RW, n_shift=self.n_shift)
+                ctx["r_keys_dev"], ctx["qk_all"], ctx["s_all"],
+                a_b, b_b, iv_b, RW=self.RW, n_shift=self.n_shift)
             pending.append((part, m, out))
             offv = part.stop
-
-        return PendingPrefilter(n, bj, bs, ok, row_iv, pending, s_all,
-                                limit, qovf)
+        return pending, row_iv
