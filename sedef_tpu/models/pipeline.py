@@ -188,8 +188,8 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     deterministic job order, with that job's seed lines, and the return
     value is the total line count instead of a list — the analog of the
     reference's per-job ``seeds/{i}_{j}_{m}.bed`` redirects
-    (sedef.sh:137), bounding stage-1 output memory by one job instead of
-    the genome-wide seed set."""
+    (sedef.sh:137), bounding stage-1 output memory by a 2*jobs window of
+    jobs instead of the genome-wide seed set."""
     nbins = len(bins)
     todo = [(i, j, is_rc)
             for j in range(nbins)
@@ -252,12 +252,29 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     if jobs <= 1:
         consume(timed(t, k) for k, t in enumerate(todo))
     else:
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
+
+        def bounded(ex):
+            # submit in a bounded window (2x the worker count): completed-
+            # but-unconsumed outputs are capped at O(jobs) pair jobs even
+            # when the in-order consumer blocks on a slow early job,
+            # instead of the whole seed set buffering in eager futures
+            window = 2 * jobs
+            futs: deque = deque()
+            it = iter(enumerate(todo))
+            for k, t in it:
+                futs.append(ex.submit(timed, t, k))
+                if len(futs) >= window:
+                    break
+            for k, t in it:
+                yield futs.popleft().result()
+                futs.append(ex.submit(timed, t, k))
+            while futs:
+                yield futs.popleft().result()
+
         with ThreadPoolExecutor(max_workers=jobs) as ex:
-            # lazy: completed jobs stream to the sink as soon as every
-            # earlier job has been consumed, instead of materializing all
-            # job outputs before the first write
-            consume(ex.map(timed, todo, range(len(todo))))
+            consume(bounded(ex))
     return total if sink is not None else lines
 
 
@@ -515,7 +532,8 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
 
         # stream each job's seeds straight to disk (the reference's
         # per-job seeds/*.bed redirects, sedef.sh:137): stage-1 output
-        # memory is bounded by one pair job, not the genome's seed set
+        # memory is bounded by a 2*jobs window of pair jobs (the bounded
+        # submission window in search_stage), not the genome's seed set
         with open(seeds_path, "w") as seeds_f:
             n_seeds = search_stage(
                 fr, bins, cfg, use_device=use_device, jobs=jobs,

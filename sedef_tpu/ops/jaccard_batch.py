@@ -75,12 +75,14 @@ def merge_rank_intersection(q_keys: jax.Array, r_keys: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=())
 def sketch_intersection(q_keys: jax.Array, r_keys: jax.Array,
-                        q_size: jax.Array, r_size: jax.Array) -> jax.Array:
+                        q_size: jax.Array) -> jax.Array:
     """Ideal sketch intersections, batched.
 
     q_keys: (B, S) sorted distinct query keys (int32), padded with INF
-    r_keys: (B, M) sorted distinct ref keys (HAS_N excluded), INF-padded
-    q_size: (B,) true |Q| per row; r_size: (B,) true |R|
+    r_keys: (B, M) sorted ref keys (HAS_N excluded), INF-padded;
+        duplicates allowed — they collapse inside the union-rank
+        reduction via its ``new_key`` distinct-element detection
+    q_size: (B,) true |Q| per row
     Returns (B,) int32: |{k in Q ∩ R : rank_union(k) < |Q|}| — the count of
     shared keys inside the |Q|-smallest union window (boundary inclusive).
     """

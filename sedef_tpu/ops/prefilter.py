@@ -206,8 +206,18 @@ class PendingPrefilter:
 
         survivors = np.nonzero(eligible & ~verdict)[0].astype(np.int64)
         if len(survivors):
-            pending, row_iv = self._pf._dispatch_compositions(
-                ctx, survivors)
+            # the dispatch itself moves rows host->device — an outage that
+            # starts between the phase-A pull and here must also trip the
+            # breaker rather than hang collect()
+            dispatched, alive = call_with_timeout(
+                lambda: self._pf._dispatch_compositions(ctx, survivors))
+            if not alive:
+                trip("prefilter phase-B dispatch exceeded the device "
+                     "deadline")  # phase-A prunes stand (proven)
+                self._bj[verdict] = -1
+                self._ok[:] = verdict
+                return self._bj, self._bs, self._ok
+            pending, row_iv = dispatched
 
             def pull_b():
                 return [np.asarray(out)[:m].astype(np.int64)
@@ -289,9 +299,10 @@ class RollPrefilter:
             self.limit_lut, SQ=self.SQ)
 
         # ---- phase A: one span-bound row per interval (async) ----
-        # span [sa, sb) covers every window the roll can visit
-        sa = np.searchsorted(r_locs_host, t0,
-                             side="left").astype(np.int32)
+        # span [sa, sb) covers every window the roll can visit; rws0 IS
+        # native find_minimizers(t0) — the identical left-searchsorted —
+        # so reuse it as the span start rather than recomputing
+        sa = rws0.astype(np.int32)
         span_end = np.searchsorted(r_locs_host, t0 + n_steps + self.L,
                                    side="left").astype(np.int64)
         sa_p = np.zeros(n_pad, np.int32)

@@ -43,19 +43,65 @@ class _HungArray:
         return np.zeros(4, np.int32)
 
 
-def test_prefilter_collect_times_out_to_host_rolls(monkeypatch):
+def _pending(pf, n, ctx):
     from sedef_tpu.ops.prefilter import PendingPrefilter
+    return PendingPrefilter(pf, n, np.zeros(n, np.int32),
+                            np.zeros(n, np.int32), np.zeros(n, bool), ctx)
 
+
+def test_prefilter_collect_times_out_to_host_rolls(monkeypatch):
+    """Phase-A pull hangs -> breaker trips, every interval host-rolls."""
     monkeypatch.setattr(devhealth, "TIMEOUT_S", 0.1)
     n = 3
-    pend = PendingPrefilter(
-        n, np.zeros(n, np.int32), np.zeros(n, np.int32),
-        np.zeros(n, bool), np.zeros(4, np.int32),
-        [(slice(0, 4), 4, _HungArray())],
-        np.ones(n, np.int32), np.ones(n, np.int32), np.zeros(n, bool))
-    bj, bs, ok = pend.collect()
+    ctx = dict(span_i=_HungArray(), limit=np.ones(n, np.int64),
+               s_all=np.ones(n, np.int32), qovf=np.zeros(n, bool))
+    bj, bs, ok = _pending(None, n, ctx).collect()
     assert devhealth.tripped()
     assert not ok.any()          # every interval falls back to host rolls
     # once tripped, prepare_device_search refuses new prefilter dispatches
     from sedef_tpu.models import seeder
     assert seeder  # (wiring asserted by the tripped() check above)
+
+
+class _HungDispatchPf:
+    """Phase-B dispatch result whose pull blocks past the deadline."""
+
+    def _dispatch_compositions(self, ctx, survivors):
+        return [(slice(0, 4), 4, _HungArray())], np.zeros(4, np.int32)
+
+
+def test_prefilter_phase_b_timeout_keeps_phase_a_prunes(monkeypatch):
+    """Phase A lands; phase-B pull hangs -> trip, but the phase-A-proven
+    prunes stand (they are sound without phase B)."""
+    monkeypatch.setattr(devhealth, "TIMEOUT_S", 0.1)
+    n = 3
+    # interval 0: span bound 0 < limit 3 -> proven dead by phase A alone;
+    # intervals 1, 2: span bound passes -> phase-B survivors
+    ctx = dict(span_i=np.array([0, 5, 5], np.int64),
+               limit=np.full(n, 3, np.int64),
+               s_all=np.ones(n, np.int32), qovf=np.zeros(n, bool))
+    bj, bs, ok = _pending(_HungDispatchPf(), n, ctx).collect()
+    assert devhealth.tripped()
+    assert ok.tolist() == [True, False, False]
+    assert bj[0] == -1           # phase-A prune keeps its verdict
+
+
+class _HungPf:
+    """The dispatch call itself (host->device transfer) blocks."""
+
+    def _dispatch_compositions(self, ctx, survivors):
+        time.sleep(5)
+        return [], np.zeros(0, np.int32)
+
+
+def test_prefilter_phase_b_dispatch_timeout_trips(monkeypatch):
+    """An outage starting between the phase-A pull and the phase-B
+    dispatch must trip the breaker, not hang collect() (ADVICE r3)."""
+    monkeypatch.setattr(devhealth, "TIMEOUT_S", 0.1)
+    n = 2
+    ctx = dict(span_i=np.array([5, 5], np.int64),
+               limit=np.full(n, 3, np.int64),
+               s_all=np.ones(n, np.int32), qovf=np.zeros(n, bool))
+    bj, bs, ok = _pending(_HungPf(), n, ctx).collect()
+    assert devhealth.tripped()
+    assert not ok.any()

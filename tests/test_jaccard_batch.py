@@ -28,8 +28,8 @@ def test_matches_bruteforce():
         rs.append(np.array(sorted(r), dtype=np.int64))
         expect.append(brute_ideal(q, r))
     qa, qsz = windows_to_arrays(qs, 80)
-    ra, rsz = windows_to_arrays(rs, 160)
-    got = np.asarray(sketch_intersection(qa, ra, qsz, rsz))
+    ra, _ = windows_to_arrays(rs, 160)
+    got = np.asarray(sketch_intersection(qa, ra, qsz))
     assert got.tolist() == expect
 
 
