@@ -451,14 +451,21 @@ def search(query_winnow_start: int, query_hash: MinimizerIndex,
 ROLL_DEVICE_MIN = int(__import__("os").environ.get(
     "SEDEF_ROLL_DEVICE_MIN_STEPS", 1 << 60))
 
-# Recompute-wide device PREFILTER (ops/prefilter.py): default ON whenever
-# the device path is active.  Unlike the replay engine above, it does no
-# sequential work — it batch-computes a provable upper bound on every
-# planned interval's best roll Jaccard and skips the intervals that
-# cannot pass the gate; the host rolls only survivors.  Byte-identical
-# (the bound is sound, see ops/prefilter.py docstring).  Disable with
-# SEDEF_NO_PREFILTER=1.
-PREFILTER_ON = __import__("os").environ.get("SEDEF_NO_PREFILTER", "") == ""
+# Recompute-wide device PREFILTER (ops/prefilter.py): default OFF
+# (opt-in with SEDEF_PREFILTER=1).  Measured round 4 on the pinned 4 Mbp
+# dense-repeat spec (warm, native winnow index path): stage 1 is 1.9 s
+# with the prefilter off vs 11.2 s forced on.  The economics cannot
+# close on this host: the ENTIRE host roll phase costs 0.38 s (native
+# scalar engine, ~27M steps/s), while proving ~half the intervals dead
+# costs ~2 s of device wall per chromosome pair (~880K composition rows
+# at ~2 us/row; the phase-A span bound prunes ~0% on dense repeats
+# because interval CLUSTERING already guarantees >= limit shared loci —
+# the discriminator is the union-rank condition, which needs the
+# composition rows).  Even a zero-cost device bound could save at most
+# the 0.38 s roll phase.  The machinery stays byte-identical and fully
+# tested (tests/test_prefilter.py) for hosts where CPU cycles are the
+# scarce resource and the chip is local (no ~30 ms tunnel round trips).
+PREFILTER_ON = __import__("os").environ.get("SEDEF_PREFILTER", "") != ""
 
 # dispatch floor, in planned roll steps per chromosome pair.  Measured
 # calibration (v5e via the axon tunnel): the host scalar engine rolls
@@ -594,6 +601,13 @@ def prepare_device_search(query_hash: MinimizerIndex,
         use_device = auto_device()
     if not use_device or cfg.search.kmer_size > 14:
         return None
+    from ..devhealth import tripped
+    roll_enabled = ROLL_DEVICE_MIN < (1 << 60)
+    if not roll_enabled and (not PREFILTER_ON or tripped()):
+        # nothing would consume the speculative plan — skip it (the
+        # plan's collect/cluster pass costs ~25% of a pair job's native
+        # search time, pure overhead when no device engine is active)
+        return None
 
     from ..ops.roll_engine import T_PAD_LADDER
     plan = _native.search_plan(query_hash, ref_hash, is_same_genome, cfg)
@@ -609,7 +623,6 @@ def prepare_device_search(query_hash: MinimizerIndex,
         results = _device_roll_results(query_hash, ref_hash, plan, cfg)
         return PreparedSearch(plan, results, None, "device-roll", names,
                               (len(steps), total_steps))
-    from ..devhealth import tripped
     if (len(plan[1]) and PREFILTER_ON and not tripped()
             and total_steps >= PREFILTER_MIN_STEPS):
         pending = _device_prefilter_dispatch(query_hash, ref_hash, plan,

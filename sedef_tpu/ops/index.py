@@ -29,10 +29,14 @@ class MinimizerIndex:
         self.kmer_size = kmer_size
         self.window_size = window_size
         dev = None
-        if use_device and separate_lowercase:
+        from .winnow import _native
+        native_winnow = _native is not None and _native.has("winnow")
+        if use_device and separate_lowercase and not native_winnow:
             # full index build (winnow + posting sort) as one device call,
             # under the device-health deadline: a tunnel outage falls back
-            # to the host scan instead of hanging the pipeline
+            # to the host scan instead of hanging the pipeline.  Skipped
+            # when the native C++ scan is available — it is ~3x faster
+            # than even the warm device op (see ops/winnow.py minimizers).
             from ..devhealth import call_with_timeout, trip, tripped
             from .winnow_device import device_index_arrays
             if not tripped():

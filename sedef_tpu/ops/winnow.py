@@ -146,11 +146,18 @@ except Exception:  # pragma: no cover
 
 def minimizers(code: np.ndarray, cls: np.ndarray, k: int, w: int,
                use_device: bool = False) -> tuple[np.ndarray, np.ndarray]:
+    """Fastest-available dispatch: native C++ scan > device op > numpy.
+
+    Measured (5 Mbp, this host + tunneled v5e): native 0.16 s, device
+    0.48 s warm (the device op pays ~2 dispatches plus the slow
+    device->host minimizer pull), numpy 3.0 s — so the native scan wins
+    even when a chip is present; the device path serves hosts without
+    the native lib, where it still beats numpy ~6x."""
+    if _native is not None and _native.has("winnow"):
+        return _native.winnow(code, cls, k, w)
     if use_device:
         from .winnow_device import minimizers_device
         r = minimizers_device(code, cls, k, w)
         if r is not None:
             return r
-    if _native is not None and _native.has("winnow"):
-        return _native.winnow(code, cls, k, w)
     return minimizers_np(code, cls, k, w)

@@ -127,6 +127,7 @@ def test_prefilter_search_byte_identical(trial, monkeypatch):
     rh = MinimizerIndex(dna.PackedSeq("r", r), 12, 16)
     base = [h.to_bed() for h in
             initial_search(qh, rh, same, DEFAULT, use_device=False)]
+    monkeypatch.setattr(seeder, "PREFILTER_ON", True)
     monkeypatch.setattr(seeder, "PREFILTER_MIN_STEPS", 0)
     dev = [h.to_bed() for h in
            initial_search(qh, rh, same, DEFAULT, use_device=True)]
@@ -152,6 +153,7 @@ def test_search_job_two_phase_byte_identical(monkeypatch, tmp_path):
     fr = FastaReference(fa)
     bins = generate_translation(fr)
     host = pl.search_stage(fr, bins, DEFAULT, use_device=False)
+    monkeypatch.setattr(seeder, "PREFILTER_ON", True)
     monkeypatch.setattr(seeder, "PREFILTER_MIN_STEPS", 0)
     dev = pl.search_stage(fr, bins, DEFAULT, use_device=True, jobs=2)
     assert host == dev
@@ -169,6 +171,7 @@ def test_prefilter_byte_identical_repeat_heavy(monkeypatch):
     rh = MinimizerIndex(dna.PackedSeq("r", r), 12, 16)
     base = [h.to_bed() for h in
             initial_search(qh, rh, False, DEFAULT, use_device=False)]
+    monkeypatch.setattr(seeder, "PREFILTER_ON", True)
     monkeypatch.setattr(seeder, "PREFILTER_MIN_STEPS", 0)
     dev = [h.to_bed() for h in
            initial_search(qh, rh, False, DEFAULT, use_device=True)]
