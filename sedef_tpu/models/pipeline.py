@@ -169,12 +169,124 @@ def search_job(fr: FastaReference, query_chrs: list[str],
     return lines
 
 
+def _search_stage_sharded(fr, bins, cfg, cache, todo, shard_bp, jobs,
+                          progress, sink, device_assignment,
+                          unit_report: list | None = None
+                          ) -> "list[str] | int":
+    """Fine-grained stage 1: every chromosome pair is split into
+    ~shard_bp query-range shards (seeder.ShardedPairSearch), all round-1
+    units are pre-submitted to one pool, and pairs are finished (fixpoint
+    + assembly) in deterministic job order.  Output is byte-identical to
+    the unsharded stage (tests/test_shard_search.py).
+
+    The schedulable unit shrinks from a whole pair job to a query-range
+    shard — the reference gets its balance from ~600 whole-pair
+    processes (sedef.sh:133-140); one heavy self-search pair needs
+    sub-pair units.  ``unit_report`` (out) receives
+    (job_idx, pair_idx, shard_idx, cost, round1_seconds, device) per
+    unit; devices are assigned by LPT on the query-span x ref-len cost
+    model purely as scheduling bookkeeping (the shard itself is native
+    host code)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .seeder import ShardedPairSearch
+
+    # prebuild every needed (chromosome, strand) index in parallel
+    needed: list[tuple[str, bool]] = []
+    seen: set[tuple[str, bool]] = set()
+    for (i, j, is_rc) in todo:
+        for r in bins[j]:
+            if (r, is_rc) not in seen:
+                seen.add((r, is_rc))
+                needed.append((r, is_rc))
+        for q in bins[i]:
+            if (q, False) not in seen:
+                seen.add((q, False))
+                needed.append((q, False))
+
+    devices = []
+    if cache.use_device:
+        import jax
+        devices = list(jax.devices())
+    n_sched = max(len(devices), 1)
+
+    job_pairs: list[list[ShardedPairSearch]] = []
+    units: list[tuple[int, int, int, float]] = []
+    unit_dev: dict[tuple[int, int, int], int] = {}
+
+    def build_pairs():
+        for k, (i, j, is_rc) in enumerate(todo):
+            pair_list = []
+            for p_r, r in enumerate(bins[j]):
+                rh = cache.get(r, is_rc)
+                for p_q, q in enumerate(bins[i]):
+                    qh = cache.get(q, False)
+                    n_sh = max(1, -(-len(qh.seq) // shard_bp))
+                    sps = ShardedPairSearch(qh, rh,
+                                            (q == r) and not is_rc,
+                                            cfg, n_sh)
+                    p = len(pair_list)
+                    pair_list.append(sps)
+                    for c, cost in enumerate(sps.unit_costs()):
+                        units.append((k, p, c, cost))
+            job_pairs.append(pair_list)
+
+    with ThreadPoolExecutor(max_workers=jobs) as ex:
+        list(ex.map(lambda t: cache.get(*t), needed))
+        build_pairs()
+
+        # LPT schedule of units onto the device slots (bookkeeping for
+        # the balance metric; shards are native host work)
+        loads = [0.0] * n_sched
+        for k, p, c, cost in sorted(units, key=lambda u: -u[3]):
+            d = min(range(n_sched), key=loads.__getitem__)
+            unit_dev[(k, p, c)] = d
+            loads[d] += cost
+        if device_assignment is not None:
+            device_assignment.extend(
+                unit_dev[(k, p, c)] for k, p, c, _ in units)
+
+        times_of: dict[tuple[int, int], list] = {}
+        for k, pair_list in enumerate(job_pairs):
+            for p, sps in enumerate(pair_list):
+                times_of[(k, p)] = []
+                sps.submit_round1(ex.submit, times_of[(k, p)])
+
+        lines: list[str] = []
+        total = 0
+        for k, (i, j, is_rc) in enumerate(todo):
+            t0 = time.time()
+            job_lines: list[str] = []
+            for p, sps in enumerate(job_pairs[k]):
+                job_lines.extend(h.to_bed()
+                                 for h in sps.finish(ex.submit))
+            dt = sum(sum(ts) for (kk, _), ts in times_of.items()
+                     if kk == k)
+            if unit_report is not None:
+                for p, sps in enumerate(job_pairs[k]):
+                    for c, ut in enumerate(times_of[(k, p)]):
+                        cost = next(u[3] for u in units
+                                    if u[:3] == (k, p, c))
+                        unit_report.append(
+                            (k, p, c, cost, ut, unit_dev[(k, p, c)]))
+            if sink is None:
+                lines.extend(job_lines)
+            else:
+                sink(job_lines)
+            total += len(job_lines)
+            if progress:
+                progress(i, j, is_rc, len(job_lines),
+                         dt if dt > 0 else time.time() - t0)
+    return total if sink is not None else lines
+
+
 def search_stage(fr: FastaReference, bins: list[list[str]],
                  cfg: Config = DEFAULT, use_device: bool | None = None,
                  progress=None, jobs: int = 1,
                  device_assignment: list | None = None,
                  cache: "IndexCache | None" = None,
-                 sink=None) -> "list[str] | int":
+                 sink=None, shard_bp: int | None = None,
+                 unit_report: list | None = None) -> "list[str] | int":
     """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
 
     ``jobs > 1`` fans the independent pair jobs over a thread pool (the
@@ -197,6 +309,14 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
             for is_rc in (False, True)]
     if cache is None:
         cache = IndexCache(fr, cfg, use_device)
+
+    if shard_bp:
+        from ..native import lib as _native
+        if _native is not None and _native.has("search_range"):
+            return _search_stage_sharded(fr, bins, cfg, cache, todo,
+                                         shard_bp, max(jobs, 1), progress,
+                                         sink, device_assignment,
+                                         unit_report)
 
     # multi-chip stage 1: pair jobs are assigned to local devices by a
     # longest-processing-time-first schedule on the |bin_i| x |bin_j|
@@ -289,7 +409,9 @@ def _tmp_bin_name(key: tuple[int, int]) -> str:
 def bucket_stage(seed_lines, fr: FastaReference,
                  bins: list[list[str]], nbuckets: int = 1000,
                  cfg: Config = DEFAULT,
-                 tmp_dir: str | None = None) -> list[list[str]]:
+                 tmp_dir: str | None = None,
+                 merge_shard: tuple[int, int] | None = None,
+                 merge_exchange=None) -> list[list[str]]:
     """Stage 2a (align_main.cc:38-198): extend x5/15 Kbp, canonical swap,
     per-(bin_i, bin_j) merge, complexity-stratified round-robin buckets.
 
@@ -297,7 +419,14 @@ def bucket_stage(seed_lines, fr: FastaReference,
     (align_main.cc:89-106): extended hits stream to per-(bin_i, bin_j)
     tmp files and are reloaded one bin at a time, bounding peak memory by
     the largest bin instead of the whole genome's extended-hit set.
-    ``seed_lines`` may be any iterable (e.g. a file line generator)."""
+    ``seed_lines`` may be any iterable (e.g. a file line generator).
+
+    ``merge_shard=(pid, pcount)`` restricts the per-bin merge pass to
+    every pcount-th bin (the multi-process fan-out of
+    parallel/distributed.py); ``merge_exchange(keys, rows_of)`` must then
+    return every bin's merged rows (a DCN all-gather).  The histogram and
+    round-robin bucketing run identically on every process from the
+    exchanged rows, so the buckets stay byte-identical to a local run."""
     lookup: dict[str, int] = {}
     for bi, names in enumerate(bins):
         for name in names:
@@ -344,17 +473,27 @@ def bucket_stage(seed_lines, fr: FastaReference,
         else:
             tmp[key] = lines
 
+    merged_rows: dict[tuple[int, int], list[str]] = {}
+    for ki, key in enumerate(keys):
+        if merge_shard is not None and ki % merge_shard[1] != merge_shard[0]:
+            continue
+        hits = [Hit.from_bed(r)[0] for r in read_bin(key)]
+        hits = merge_hits(hits, cfg.extend.merge_dist)
+        merged_rows[key] = [h.to_bed(False) for h in hits]
+    if merge_exchange is not None:
+        merged_rows = merge_exchange(keys, merged_rows)
+
     max_complexity = 0
     complexity_hist: dict[int, int] = defaultdict(int)
     for key in keys:
-        hits = [Hit.from_bed(r)[0] for r in read_bin(key)]
-        hits = merge_hits(hits, cfg.extend.merge_dist)
-        for h in hits:
+        rows = merged_rows[key]
+        for row in rows:
+            h, _ = Hit.from_bed(row)
             c = int(math.sqrt(float(h.query_end - h.query_start)
                               * float(h.ref_end - h.ref_start)))
             max_complexity = max(max_complexity, c)
             complexity_hist[c // 1000] += 1
-        write_bin(key, [h.to_bed(False) for h in hits])
+        write_bin(key, rows)
 
     next_bin = [0]
     for c in range(1, max_complexity // 1000 + 1):

@@ -633,6 +633,173 @@ def prepare_device_search(query_hash: MinimizerIndex,
                           (len(steps), total_steps))
 
 
+def shard_bounds(query_hash: MinimizerIndex, n_shards: int) -> list[int]:
+    """Split the query minimizer index range into ~equal-bp spans.
+
+    Returns C+1 ascending minimizer indices (C <= n_shards after
+    deduplication); shard c scans [bounds[c], bounds[c+1])."""
+    qlen = len(query_hash.seq)
+    nq = len(query_hash.keys)
+    bounds = [0]
+    for s in range(1, n_shards):
+        b = query_hash.find_minimizers(qlen * s // n_shards)
+        if b > bounds[-1]:
+            bounds.append(b)
+    if nq > bounds[-1]:
+        bounds.append(nq)
+    return bounds
+
+
+class ShardedPairSearch:
+    """Byte-identical ``initial_search`` via speculative query-range
+    shards — the fine-grained stage-1 work unit for multi-worker /
+    multi-chip load balance (the reference's balance comes from ~600
+    whole-pair processes, sedef.sh:133-140; a single heavy pair like a
+    chr1 self-search needs sub-pair units).
+
+    The native core's only cross-window state is (stride position, dedup
+    tree); ``sedef_search_range`` exposes both as an explicit interface.
+    Shards first run SPECULATIVELY in parallel with a guessed empty
+    incoming state (``submit_round1``), then a fixpoint loop
+    (``finish``) reruns exactly those shards whose true incoming state
+    (the previous shard's outgoing) differs from their guess, until no
+    interface changes.  At the fixpoint the chained outputs equal the
+    sequential run byte for byte (induction: shard 0's guess is always
+    true; once shards < c are exact, shard c's incoming is the true
+    one).  Worst case (every boundary carries live state, e.g. dense
+    tandem repeats) degrades to ~2x the sequential work, still spread
+    over the workers.
+
+    Two-phase API so a stage driver can pre-submit round 1 for EVERY
+    chromosome pair before finishing any (cross-pair overlap)."""
+
+    def __init__(self, query_hash: MinimizerIndex,
+                 ref_hash: MinimizerIndex, is_same_genome: bool,
+                 cfg: Config = DEFAULT, n_shards: int = 8,
+                 run_wrap=None):
+        import numpy as np
+        self.qh = query_hash
+        self.rh = ref_hash
+        self.same = is_same_genome
+        self.cfg = cfg
+        self.bounds = shard_bounds(query_hash, n_shards)
+        self.C = len(self.bounds) - 1
+        self._empty = np.empty((0, 4), np.int32)
+        self._futs = None
+        # run_wrap(fn, unit_idx) -> result: lets the scheduler pin a
+        # device / account time around each unit execution
+        self._wrap = run_wrap
+
+    def _run(self, c: int, nxt: int, tree):
+        import time as _time
+
+        from ..native import lib as _native
+
+        def body():
+            return _native.search_range(
+                self.qh, self.rh, self.same, self.cfg,
+                self.bounds[c], self.bounds[c + 1], nxt, tree)
+
+        t0 = _time.perf_counter()
+        r = body() if self._wrap is None else self._wrap(body, c)
+        return r, _time.perf_counter() - t0
+
+    def unit_costs(self) -> list[float]:
+        """Scheduler cost model per shard: query-span bp x ref bp (the
+        align stage's complexity model applied to seed search)."""
+        locs = self.qh.locs
+        nq = len(locs)
+        rl = float(len(self.rh.seq))
+        out = []
+        for c in range(self.C):
+            lo = int(locs[self.bounds[c]]) if self.bounds[c] < nq else 0
+            hi = (int(locs[self.bounds[c + 1]])
+                  if self.bounds[c + 1] < nq else len(self.qh.seq))
+            out.append(float(max(hi - lo, 1)) * rl)
+        return out
+
+    def submit_round1(self, submit, unit_times: list | None = None):
+        """Launch every shard with the speculative empty incoming state.
+        ``submit(fn, *args)`` returns a future (None runs inline)."""
+        if submit is None:
+            self._futs = [self._run(c, 0, self._empty)
+                          for c in range(self.C)]
+        else:
+            self._futs = [submit(self._run, c, 0, self._empty)
+                          for c in range(self.C)]
+        self._unit_times = unit_times
+        return self
+
+    def finish(self, submit=None) -> list[Hit]:
+        """Fixpoint + assembly; blocks on the round-1 futures."""
+        import numpy as np
+
+        if self.C < 1:
+            return []
+        if self._futs is None:
+            self.submit_round1(submit)
+
+        def wait(x):
+            return x.result() if hasattr(x, "result") else x
+
+        round1 = [wait(f) for f in self._futs]
+        results = [r for r, _ in round1]
+        used = [(0, self._empty)] * self.C
+        if self._unit_times is not None:
+            self._unit_times.extend(dt for _, dt in round1)
+
+        while True:
+            incoming = [(0, self._empty)]
+            for c in range(self.C - 1):
+                incoming.append((results[c][1], results[c][2]))
+            stale = [c for c in range(self.C)
+                     if used[c][0] != incoming[c][0]
+                     or not np.array_equal(used[c][1], incoming[c][1])]
+            if not stale:
+                break
+            if submit is None:
+                redone = [self._run(c, *incoming[c]) for c in stale]
+            else:
+                redone = [wait(f) for f in
+                          [submit(self._run, c, *incoming[c])
+                           for c in stale]]
+            for c, (r, _) in zip(stale, redone):
+                results[c] = r
+                used[c] = incoming[c]
+
+        from ..ops import filter as filt
+        qref = SeqRef(self.qh.seq.name, self.qh.seq.is_rc,
+                      len(self.qh.seq))
+        rref = SeqRef(self.rh.seq.name, self.rh.seq.is_rc,
+                      len(self.rh.seq))
+        out: list[Hit] = []
+        tot = np.zeros(5, np.int64)
+        for hits, _, _, counters in results:
+            tot += counters
+            for qs, qe, rs, re_, jac in hits:
+                out.append(Hit(SeqRef(qref.name, qref.is_rc, qref.length),
+                               int(qs), int(qe),
+                               SeqRef(rref.name, rref.is_rc, rref.length),
+                               int(rs), int(re_), jaccard=int(jac),
+                               name="", comment="OK"))
+        for key, idx in zip(("total", "jaccard", "interval", "lowercase",
+                             "qgram"), range(5)):
+            filt.COUNTERS.add(key, int(tot[idx]))
+        return out
+
+
+def sharded_pair_search(query_hash: MinimizerIndex,
+                        ref_hash: MinimizerIndex, is_same_genome: bool,
+                        cfg: Config = DEFAULT, n_shards: int = 8,
+                        submit=None, unit_times: list | None = None
+                        ) -> list[Hit]:
+    """One-shot wrapper over :class:`ShardedPairSearch`."""
+    sps = ShardedPairSearch(query_hash, ref_hash, is_same_genome, cfg,
+                            n_shards)
+    sps.submit_round1(submit, unit_times)
+    return sps.finish(submit)
+
+
 def initial_search(query_hash: MinimizerIndex, ref_hash: MinimizerIndex,
                    is_same_genome: bool, cfg: Config = DEFAULT,
                    report=None, use_native: bool | None = None,

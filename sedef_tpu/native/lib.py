@@ -49,6 +49,20 @@ if _lib is not None:
            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         + [_i32, ctypes.c_int64, _i64])
 
+    if hasattr(_lib, "sedef_search_range"):
+        _lib.sedef_search_range.restype = ctypes.c_int64
+        _lib.sedef_search_range.argtypes = (
+            [_i64, _i32, ctypes.c_int64, _i64, _i32, ctypes.c_int64, _u8,
+             _u8, ctypes.c_int64] * 2
+            + [ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+               ctypes.c_double, ctypes.c_double, ctypes.c_double,
+               ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+               ctypes.c_int]
+            + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+               _i32, ctypes.c_int64]
+            + [_i32, _i32, ctypes.c_int64, _i64]
+            + [_i32, ctypes.c_int64, _i64])
+
     if hasattr(_lib, "sedef_search_plan"):
         _lib.sedef_search_plan.restype = ctypes.c_int64
         _lib.sedef_search_plan.argtypes = [
@@ -231,6 +245,61 @@ def search(q_index, r_index, same_genome: bool, cfg,
                 filt.COUNTERS.add(key, int(counters[idx]))
             return out[:n * 5].reshape(n, 5)
         cap = int(-n) * 5 + 16
+
+
+def search_range(q_index, r_index, same_genome: bool, cfg,
+                 qi_lo: int, qi_hi: int, next_in: int,
+                 tree_in: np.ndarray):
+    """One query-range shard of the native initial_search.
+
+    ``tree_in``: (n, 4) int32 incoming dedup rectangles (qs, qe, rs, re);
+    ``next_in``: incoming stride position.  Returns (hits (n, 5) int32,
+    next_out int, tree_out (m, 4) int32, counters (5,) int64).  Chaining
+    shards with each other's outgoing state reproduces ``search`` byte
+    for byte (tests/test_shard_search.py)."""
+    from ..ops.stat_model import tau
+
+    def args_for(ix):
+        return [np.ascontiguousarray(ix.keys),
+                np.ascontiguousarray(ix.locs),
+                len(ix.keys),
+                np.ascontiguousarray(ix.skeys),
+                np.ascontiguousarray(ix.slocs),
+                int(ix.threshold),
+                np.ascontiguousarray(ix.seq.cls),
+                np.ascontiguousarray(ix.seq.code),
+                len(ix.seq)]
+
+    tree_in = np.ascontiguousarray(tree_in, np.int32).reshape(-1, 4)
+    cap = 1 << 14
+    tree_cap = max(1 << 12, 4 * len(tree_in))
+    counters = np.zeros(5, dtype=np.int64)
+    next_out = np.zeros(1, dtype=np.int32)
+    n_tree_out = np.zeros(1, dtype=np.int64)
+    while True:
+        out = np.empty(cap, dtype=np.int32)
+        tree_out = np.empty(tree_cap * 4, dtype=np.int32)
+        n = _lib.sedef_search_range(
+            *args_for(q_index), *args_for(r_index),
+            cfg.search.kmer_size,
+            tau(cfg.search.max_edit_error, cfg.search.kmer_size, cfg),
+            cfg.search.min_read_size, cfg.search.max_sd_size,
+            cfg.search.max_error, cfg.search.max_edit_error,
+            cfg.search.gap_frequency, cfg.search.min_uppercase,
+            int(same_genome), int(cfg.internal.do_uppercase),
+            int(cfg.internal.do_qgram),
+            int(cfg.internal.do_uppercase_seeds),
+            qi_lo, qi_hi, next_in, tree_in, len(tree_in),
+            next_out, tree_out, tree_cap, n_tree_out,
+            out, cap, counters)
+        if n >= 0 and int(n_tree_out[0]) <= tree_cap:
+            return (out[:n * 5].reshape(n, 5).copy(),
+                    int(next_out[0]),
+                    tree_out[:int(n_tree_out[0]) * 4].reshape(-1, 4).copy(),
+                    counters.copy())
+        if n < 0:
+            cap = (int(-n) - 1) * 5 + 16
+        tree_cap = max(tree_cap * 2, int(n_tree_out[0]))
 
 
 def align(q: np.ndarray, t: np.ndarray, match: int, mis: int, gapo: int,

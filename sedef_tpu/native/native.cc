@@ -775,16 +775,14 @@ static void parse_hits(std::vector<OutHit> &hits) {
   hits.swap(keep);
 }
 
-// full initial_search over a chromosome pair; returns hit count (or
-// -needed if out capacity is too small).  counters_out: int64[5].
-//
-// plan_win/plan_iv + res_*: optional speculative plan (sedef_search_plan)
-// with device roll verdicts (ops/roll_engine.py).  Windows whose candidate
-// set cannot have been altered by the dedup tree reuse the plan directly
-// (collect skipped, device verdict applied); tree-touched or desynced
-// windows fall back to the full scalar path.  Output is byte-identical
-// either way.
-int64_t sedef_search(
+// Shared core of sedef_search / sedef_search_range: initial_search over
+// the query minimizer index range [qi_lo, qi_hi) with an explicit
+// sequential-state interface — incoming stride position (next_in) and
+// incoming dedup-tree rectangles (tree_in) — and the symmetric outgoing
+// state (next_out, tree_out).  Running the core over consecutive ranges,
+// feeding each range the previous range's outgoing state, is EXACTLY the
+// single full-range run: the loop carries no other cross-iteration state.
+static int64_t search_core(
     // query index
     const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
     const int64_t *q_skeys, const int32_t *q_slocs, int64_t q_threshold,
@@ -802,6 +800,12 @@ int64_t sedef_search(
     const int32_t *plan_win, int64_t n_plan_win,
     const int32_t *plan_iv, const int32_t *res_bj, const int32_t *res_bs,
     const uint8_t *res_ok,
+    // query range + incoming sequential state
+    int64_t qi_lo, int64_t qi_hi, int32_t next_in,
+    const int32_t *tree_in, int64_t n_tree_in,
+    // outgoing sequential state (may be null)
+    int32_t *next_out, int32_t *tree_out, int64_t tree_cap,
+    int64_t *n_tree_out,
     // out
     int32_t *out, int64_t out_cap, int64_t *counters_out) {
   IndexView Q{q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold,
@@ -815,15 +819,18 @@ int64_t sedef_search(
   const int n_shift = 2 * kmer_size;
 
   std::vector<Rect> tree;
+  for (int64_t i = 0; i < n_tree_in; i++)
+    tree.push_back(Rect{tree_in[i * 4 + 0], tree_in[i * 4 + 1],
+                        tree_in[i * 4 + 2], tree_in[i * 4 + 3]});
   std::vector<OutHit> all;
-  int32_t next_to_attain = 0;
+  int32_t next_to_attain = next_in;
 
   // plan cursor: windows in both passes are visited in ascending loc
   // order, so a merge-join on loc pairs them up; iv_base tracks the
   // running interval offset of the skipped plan windows.
   int64_t wcur = 0, iv_base = 0;
 
-  for (int64_t qi = 0; qi < q_nmin; qi++) {
+  for (int64_t qi = qi_lo; qi < qi_hi; qi++) {
     int32_t loc = q_locs[qi];
     if (loc < next_to_attain) continue;
     if (do_uppercase_seeds && (q_keys[qi] >> n_shift) != 0) continue;
@@ -956,7 +963,18 @@ int64_t sedef_search(
   counters_out[2] = C.interval;
   counters_out[3] = C.lowercase;
   counters_out[4] = C.qgram;
-  if ((int64_t)all.size() * 5 > out_cap) return -(int64_t)all.size();
+  if (next_out) *next_out = next_to_attain;
+  if (n_tree_out) {
+    *n_tree_out = (int64_t)tree.size();
+    if ((int64_t)tree.size() > tree_cap) return -(int64_t)all.size() - 1;
+    for (size_t i = 0; i < tree.size(); i++) {
+      tree_out[i * 4 + 0] = tree[i].qs;
+      tree_out[i * 4 + 1] = tree[i].qe;
+      tree_out[i * 4 + 2] = tree[i].rs;
+      tree_out[i * 4 + 3] = tree[i].re;
+    }
+  }
+  if ((int64_t)all.size() * 5 > out_cap) return -(int64_t)all.size() - 1;
   for (size_t i = 0; i < all.size(); i++) {
     out[i * 5 + 0] = all[i].qs;
     out[i * 5 + 1] = all[i].qe;
@@ -965,6 +983,83 @@ int64_t sedef_search(
     out[i * 5 + 4] = all[i].jaccard;
   }
   return (int64_t)all.size();
+}
+
+// full initial_search over a chromosome pair; returns hit count (or a
+// negative value if out capacity is too small).  counters_out: int64[5].
+//
+// plan_win/plan_iv + res_*: optional speculative plan (sedef_search_plan)
+// with device roll verdicts (ops/roll_engine.py).  Windows whose candidate
+// set cannot have been altered by the dedup tree reuse the plan directly
+// (collect skipped, device verdict applied); tree-touched or desynced
+// windows fall back to the full scalar path.  Output is byte-identical
+// either way.
+int64_t sedef_search(
+    // query index
+    const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
+    const int64_t *q_skeys, const int32_t *q_slocs, int64_t q_threshold,
+    const uint8_t *q_cls, const uint8_t *q_code, int64_t q_len,
+    // ref index
+    const int64_t *r_keys, const int32_t *r_locs, int64_t r_nmin,
+    const int64_t *r_skeys, const int32_t *r_slocs, int64_t r_threshold,
+    const uint8_t *r_cls, const uint8_t *r_code, int64_t r_len,
+    // params
+    int kmer_size, double tau_k, int min_read_size, int max_sd_size,
+    double max_error, double max_edit_error, double gap_frequency,
+    int min_uppercase, int same_genome, int do_uppercase, int do_qgram,
+    int do_uppercase_seeds,
+    // optional device plan
+    const int32_t *plan_win, int64_t n_plan_win,
+    const int32_t *plan_iv, const int32_t *res_bj, const int32_t *res_bs,
+    const uint8_t *res_ok,
+    // out
+    int32_t *out, int64_t out_cap, int64_t *counters_out) {
+  return search_core(
+      q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold, q_cls, q_code,
+      q_len, r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold, r_cls,
+      r_code, r_len, kmer_size, tau_k, min_read_size, max_sd_size,
+      max_error, max_edit_error, gap_frequency, min_uppercase, same_genome,
+      do_uppercase, do_qgram, do_uppercase_seeds, plan_win, n_plan_win,
+      plan_iv, res_bj, res_bs, res_ok,
+      0, q_nmin, 0, nullptr, 0, nullptr, nullptr, 0, nullptr,
+      out, out_cap, counters_out);
+}
+
+// Query-range shard of initial_search (the multi-worker stage-1 unit):
+// scans query minimizers [qi_lo, qi_hi) starting from the incoming
+// sequential state (next_in stride position + tree_in dedup rectangles)
+// and reports the outgoing state.  Chaining shards 0..C-1, each fed the
+// previous shard's outgoing state, reproduces sedef_search byte for byte
+// (the loop carries no other cross-iteration state); shards run
+// SPECULATIVELY in parallel with a guessed incoming state and are
+// revalidated/rerun by the Python driver (models/seeder.py
+// sharded_pair_search).  No device-plan support (shards are a host path).
+int64_t sedef_search_range(
+    const int64_t *q_keys, const int32_t *q_locs, int64_t q_nmin,
+    const int64_t *q_skeys, const int32_t *q_slocs, int64_t q_threshold,
+    const uint8_t *q_cls, const uint8_t *q_code, int64_t q_len,
+    const int64_t *r_keys, const int32_t *r_locs, int64_t r_nmin,
+    const int64_t *r_skeys, const int32_t *r_slocs, int64_t r_threshold,
+    const uint8_t *r_cls, const uint8_t *r_code, int64_t r_len,
+    int kmer_size, double tau_k, int min_read_size, int max_sd_size,
+    double max_error, double max_edit_error, double gap_frequency,
+    int min_uppercase, int same_genome, int do_uppercase, int do_qgram,
+    int do_uppercase_seeds,
+    int64_t qi_lo, int64_t qi_hi, int32_t next_in,
+    const int32_t *tree_in, int64_t n_tree_in,
+    int32_t *next_out, int32_t *tree_out, int64_t tree_cap,
+    int64_t *n_tree_out,
+    int32_t *out, int64_t out_cap, int64_t *counters_out) {
+  return search_core(
+      q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold, q_cls, q_code,
+      q_len, r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold, r_cls,
+      r_code, r_len, kmer_size, tau_k, min_read_size, max_sd_size,
+      max_error, max_edit_error, gap_frequency, min_uppercase, same_genome,
+      do_uppercase, do_qgram, do_uppercase_seeds, nullptr, 0, nullptr,
+      nullptr, nullptr, nullptr,
+      qi_lo, qi_hi, next_in, tree_in, n_tree_in,
+      next_out, tree_out, tree_cap, n_tree_out,
+      out, out_cap, counters_out);
 }
 
 // ---------------------------------------------------------------------------

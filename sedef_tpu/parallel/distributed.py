@@ -3,18 +3,40 @@
 The reference scales across machines only by hand-partitioning job lists
 (GNU Parallel per host, filesystem barriers — SURVEY §2.2 C1).  Here each
 host runs a JAX process (``jax.distributed``), takes a deterministic
-interleaved slice of the (bin_i, bin_j, strand) job matrix for stage 1 and
-of the complexity-balanced buckets for stage 2b, and stage boundaries are
-DCN all-gathers of the BED line sets; stage 3 runs on process 0.
+interleaved slice of the (bin_i, bin_j, strand) job matrix for stage 1,
+of the per-(bin_i, bin_j) merge bins for stage 2a, of the
+complexity-balanced buckets for stage 2b, and of the alignment rows for
+stage 3; stage boundaries are DCN all-gathers of framed BED line sets.
+
+Driver parity with the single-host ``run_pipeline`` (sedef.sh:129-240):
+
+* one per-host :class:`~..models.pipeline.IndexCache` shared across the
+  host's stage-1 jobs (each chromosome strand indexed once per host);
+* seeds are gathered in deterministic JOB ORDER in bounded chunks and
+  streamed to ``seeds.bed`` — the file is byte-identical to the
+  single-host driver's, and no process ever holds the genome-wide seed
+  list in memory;
+* per-stage joblogs + completion audits (the reference greps its GNU
+  Parallel logs and aborts on a shortfall, sedef.sh:145-149) with the
+  audit made COLLECTIVE (an undercount on any host aborts every host);
+* ``.ok`` sentinel resume, decided collectively (a stage is skipped only
+  when EVERY process has its sentinel + artifact — a half-resumed pod
+  would otherwise deadlock in the stage's collectives);
+* every process writes every artifact atomically (tmp + rename), so each
+  host of a shared-nothing pod ends with the full diffable output set.
 
 Degenerate single-process mode (process_count == 1) needs no
 initialization and is what CI exercises; pod-slice runs call
-:func:`init_distributed` first on every host.
+:func:`init_distributed` first on every host.  The 2-process test
+(tests/test_parallel.py) checks byte-identity against ``run_pipeline``
+and kill-and-resume.
 """
 
 from __future__ import annotations
 
 import os
+import sys
+import time
 
 import jax
 import numpy as np
@@ -23,6 +45,12 @@ from ..config import DEFAULT, Config
 from ..io.fasta import FastaReference, generate_translation
 from ..models import pipeline as pl
 from ..models import reporter
+
+# frame separators for gathered line sets (never appear in BED rows)
+_JOB = "\x1d"   # between jobs
+_HDR = "\x1f"   # job id | payload
+_LN = "\x1e"    # between lines
+_SEED_CHUNK = 32   # stage-1 jobs gathered per round (memory bound)
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -51,15 +79,32 @@ def gather_lines(local_lines: list[str]) -> list[str]:
     blob = ("\n".join(local_lines)).encode()
     n = np.int64(len(blob))
     sizes = multihost_utils.process_allgather(n)
-    maxlen = int(sizes.max())
+    maxlen = max(int(sizes.max()), 1)
     buf = np.zeros(maxlen, dtype=np.uint8)
     buf[:len(blob)] = np.frombuffer(blob, dtype=np.uint8)
     gathered = multihost_utils.process_allgather(buf)
     out: list[str] = []
     for i in range(pcount):
-        raw = bytes(gathered[i][:int(sizes[i])])
+        raw = bytes(np.asarray(gathered[i])[:int(sizes[i])])
         if raw:
             out.extend(raw.decode().split("\n"))
+    return out
+
+
+def _gather_framed(frames: dict[int, list[str]]) -> dict[int, list[str]]:
+    """All-gather {id: lines} maps (one frame string per process; ids are
+    globally unique).  Lines must not contain newlines."""
+    payload = _JOB.join(
+        f"{k}{_HDR}" + _LN.join(lines) for k, lines in frames.items())
+    out: dict[int, list[str]] = {}
+    for got in gather_lines([payload]):
+        if not got:
+            continue
+        for part in got.split(_JOB):
+            if not part:
+                continue
+            k, _, body = part.partition(_HDR)
+            out[int(k)] = body.split(_LN) if body else []
     return out
 
 
@@ -69,50 +114,180 @@ def _my_slice(items: list, pid: int, pcount: int) -> list:
     return [x for i, x in enumerate(items) if i % pcount == pid]
 
 
+def _collective_all(flag: bool) -> bool:
+    """True iff every process passes ``flag`` (stage-resume consensus)."""
+    return all(v == "1" for v in gather_lines(["1" if flag else "0"]))
+
+
+def _atomic_write(path: str, text: str, pid: int) -> None:
+    tmp = f"{path}.tmp.{pid}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def _audit(stage: str, done: int, expected: int, out_dir: str, pid: int,
+           rows: list[str]) -> None:
+    """Joblog + collective completion audit (sedef.sh:145-149,195-199)."""
+    _atomic_write(os.path.join(out_dir, f"{stage}.joblog.{pid}"),
+                  "\n".join(rows) + ("\n" if rows else ""), pid)
+    counts = gather_lines([f"{done}/{expected}"])
+    bad = [c for c in counts if c and c.split("/")[0] != c.split("/")[1]]
+    if bad:
+        raise RuntimeError(
+            f"{stage} stage incomplete across processes: {counts} "
+            f"(see {stage}.joblog.* in {out_dir})")
+
+
+def _eprn(msg: str, quiet: bool) -> None:
+    if not quiet:
+        print(msg, file=sys.stderr, flush=True)
+
+
 def run_pipeline_distributed(fasta_path: str, out_dir: str,
                              cfg: Config = DEFAULT, nbuckets: int = 1000,
-                             jobs: int = 1, aligner=None) -> dict[str, str]:
-    """Pod-slice pipeline: every process executes this identically."""
+                             jobs: int = 1, aligner=None,
+                             quiet: bool = True, force: bool = False,
+                             stop_after: str | None = None
+                             ) -> dict[str, str]:
+    """Pod-slice pipeline: every process executes this identically.
+
+    ``jobs``: intra-host thread fan-out for each stage.  ``stop_after``
+    ("seeds" | "bucket" | "aligned"): exit after that stage's sentinel —
+    the kill-and-resume test hook (a later identical call resumes)."""
     pid, pcount = process_info()
     os.makedirs(out_dir, exist_ok=True)
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
     nbins = len(bins)
 
-    # stage 1: shard the (i, j, strand) job matrix
+    def _ok(stage: str) -> str:
+        return os.path.join(out_dir, f"{stage}.ok")
+
+    def _done(stage: str, path: str) -> bool:
+        local = (not force and os.path.exists(_ok(stage))
+                 and os.path.exists(path))
+        return _collective_all(local)
+
+    # ---- stage 1: seeds (sharded job matrix, shared per-host cache) ----
+    seeds_path = os.path.join(out_dir, "seeds.bed")
     todo = [(i, j, rc)
             for j in range(nbins)
             for i in range(j, nbins)
             for rc in (False, True)]
-    my_jobs = _my_slice(todo, pid, pcount)
-    local_seeds: list[str] = []
-    for (i, j, rc) in my_jobs:
-        local_seeds.extend(pl.search_job(fr, bins[i], bins[j], rc, cfg))
-    seed_lines = gather_lines(local_seeds)
-    # deterministic global order regardless of process interleave
-    seed_lines = sorted(seed_lines)
+    if _done("seeds", seeds_path):
+        _eprn(f"[search:d{pid}] resumed", quiet)
+    else:
+        t0 = time.time()
+        cache = pl.IndexCache(fr, cfg)
+        my_ids = [k for k in range(len(todo)) if k % pcount == pid]
+        lines_by_job: dict[int, list[str]] = {}
+        job_rows: list[str] = []
 
-    # stage 2a runs identically everywhere (deterministic on sorted input)
-    buckets = pl.bucket_stage(seed_lines, fr, bins, nbuckets, cfg)
+        def run_job(k: int):
+            i, j, rc = todo[k]
+            tj = time.time()
+            out = pl.search_job(fr, bins[i], bins[j], rc, cfg, cache=cache)
+            return k, out, time.time() - tj
 
-    # stage 2b: shard buckets
-    my_buckets = _my_slice(list(enumerate(buckets)), pid, pcount)
-    local_aligned: list[str] = []
-    for _, bucket in my_buckets:
-        local_aligned.extend(pl.align_stage(bucket, fr, cfg, aligner))
-    aligned = pl.canonical_sort_uniq(gather_lines(local_aligned))
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max(jobs, 1)) as ex:
+            for k, out, dt in ex.map(run_job, my_ids):
+                lines_by_job[k] = out
+                i, j, rc = todo[k]
+                job_rows.append(f"{i}\t{j}\t{int(rc)}\t{len(out)}\t"
+                                f"TIMING: {dt:.2f}\tOK")
+        _audit("seeds", len(job_rows), len(my_ids), out_dir, pid, job_rows)
 
-    paths = {"seeds": os.path.join(out_dir, "seeds.bed"),
-             "aligned": os.path.join(out_dir, "aligned.bed"),
-             "final": os.path.join(out_dir, "final.bed")}
-    if pid == 0:
-        with open(paths["seeds"], "w") as f:
-            f.write("\n".join(seed_lines) + ("\n" if seed_lines else ""))
-        with open(paths["aligned"], "w") as f:
-            f.write("\n".join(aligned) + ("\n" if aligned else ""))
-        final_rows = pl.canonical_sort_uniq(
-            reporter.stats_rows(aligned, fr, cfg))
-        with open(paths["final"], "w") as f:
-            f.write(reporter.HEADER + "\n")
-            f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
-    return paths
+        # deterministic job-order gather, chunked: seeds.bed is
+        # byte-identical to the single-host driver's and peak memory is
+        # bounded by _SEED_CHUNK jobs
+        tmp = f"{seeds_path}.tmp.{pid}"
+        n_seeds = 0
+        with open(tmp, "w") as f:
+            for lo in range(0, len(todo), _SEED_CHUNK):
+                chunk = range(lo, min(lo + _SEED_CHUNK, len(todo)))
+                mine = {k: lines_by_job.pop(k) for k in chunk
+                        if k % pcount == pid}
+                got = _gather_framed(mine)
+                for k in chunk:
+                    for ln in got.get(k, []):
+                        f.write(ln + "\n")
+                        n_seeds += 1
+        os.replace(tmp, seeds_path)
+        open(_ok("seeds") + f".{pid}", "w").close()
+        os.replace(_ok("seeds") + f".{pid}", _ok("seeds"))
+        _eprn(f"[search:d{pid}] {time.time() - t0:8.1f}s  "
+              f"{n_seeds} seeds ({len(my_ids)}/{len(todo)} jobs local)",
+              quiet)
+    if stop_after == "seeds":
+        return {"seeds": seeds_path}
+
+    # ---- stage 2a: bucket (merge sharded across processes) ----
+    def merge_exchange(keys, rows_of):
+        """Each process merged its key-slice; exchange so every process
+        holds every bin's merged rows (framed by key index)."""
+        got = _gather_framed({ki: rows_of[k]
+                              for ki, k in enumerate(keys)
+                              if ki % pcount == pid})
+        return {keys[ki]: lines for ki, lines in got.items()}
+
+    aligned_path = os.path.join(out_dir, "aligned.bed")
+    if _done("aligned", aligned_path):
+        aligned = open(aligned_path).read().splitlines()
+        _eprn(f"[align:d{pid}]  resumed  {len(aligned)} alignments", quiet)
+    else:
+        t0 = time.time()
+        with open(seeds_path) as seeds_f:
+            buckets = pl.bucket_stage(
+                seeds_f, fr, bins, nbuckets, cfg,
+                tmp_dir=os.path.join(out_dir, f"align_tmp.{pid}"),
+                merge_shard=(pid, pcount) if pcount > 1 else None,
+                merge_exchange=merge_exchange if pcount > 1 else None)
+        _eprn(f"[bucket:d{pid}] {time.time() - t0:8.1f}s  "
+              f"{sum(len(b) for b in buckets)} regions", quiet)
+        if stop_after == "bucket":
+            return {"seeds": seeds_path}
+
+        # ---- stage 2b: align (buckets sharded) ----
+        t0 = time.time()
+        my_buckets = _my_slice(list(enumerate(buckets)), pid, pcount)
+        local_aligned: list[str] = []
+        brows: list[str] = []
+        for bi, bucket in my_buckets:
+            tb = time.time()
+            out = pl.align_stage(bucket, fr, cfg, aligner,
+                                 jobs=max(jobs, 1))
+            local_aligned.extend(out)
+            brows.append(f"bucket_{bi}\t{len(out)}\t"
+                         f"TIMING: {time.time() - tb:.2f}\tOK")
+        _audit("align", len(brows), len(my_buckets), out_dir, pid, brows)
+        aligned = pl.canonical_sort_uniq(gather_lines(local_aligned))
+        _atomic_write(aligned_path,
+                      "\n".join(aligned) + ("\n" if aligned else ""), pid)
+        open(_ok("aligned") + f".{pid}", "w").close()
+        os.replace(_ok("aligned") + f".{pid}", _ok("aligned"))
+        _eprn(f"[align:d{pid}]  {time.time() - t0:8.1f}s  "
+              f"{len(aligned)} alignments", quiet)
+    if stop_after == "aligned":
+        return {"seeds": seeds_path, "aligned": aligned_path}
+
+    # ---- stage 3: stats (rows sharded across processes) ----
+    final_path = os.path.join(out_dir, "final.bed")
+    if _done("final", final_path):
+        _eprn(f"[stats:d{pid}]  resumed", quiet)
+    else:
+        t0 = time.time()
+        my_rows = _my_slice(aligned, pid, pcount)
+        local_final = reporter.stats_rows(my_rows, fr, cfg,
+                                          jobs=max(jobs, 1))
+        final_rows = pl.canonical_sort_uniq(gather_lines(local_final))
+        _atomic_write(final_path,
+                      reporter.HEADER + "\n" + "\n".join(final_rows)
+                      + ("\n" if final_rows else ""), pid)
+        open(_ok("final") + f".{pid}", "w").close()
+        os.replace(_ok("final") + f".{pid}", _ok("final"))
+        _eprn(f"[stats:d{pid}]  {time.time() - t0:8.1f}s  "
+              f"{len(final_rows)} final SDs", quiet)
+    return {"seeds": seeds_path, "aligned": aligned_path,
+            "final": final_path}

@@ -224,3 +224,89 @@ def test_multichip_step_pallas_interpret_matches_scan():
     ps_, *rest_s = ss(*args)
     assert np.array_equal(np.asarray(pp_), np.asarray(ps_))
     assert int(rest_p[2]) == int(rest_s[2])  # total
+
+
+def test_distributed_kill_and_resume(tmp_path):
+    """2-process run killed after the seeds stage, then resumed: the
+    resumed run must skip stage 1 (collective .ok consensus) and the
+    final output must be byte-identical to the single-host pipeline."""
+    import subprocess
+    import sys
+    import textwrap
+
+    rng = np.random.default_rng(23)
+    bg = rng.choice(np.array(list("acgt")), 30000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 1500))
+    chrom = ("".join(bg[:4000]) + seg + "".join(bg[4000:14000]) + seg
+             + "".join(bg[14000:]))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chrK\n")
+        for i in range(0, len(chrom), 70):
+            f.write(chrom[i:i + 70] + "\n")
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {pathlib_repo_root()!r})
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from sedef_tpu.parallel.distributed import (init_distributed,
+                                                    run_pipeline_distributed)
+        from sedef_tpu.ops.wavefront import WavefrontAligner
+        pid = int(sys.argv[1])
+        stop = sys.argv[3] if len(sys.argv) > 3 else None
+        init_distributed("localhost:" + sys.argv[2], 2, pid)
+        run_pipeline_distributed({str(fa)!r}, {str(tmp_path / 'outd')!r},
+                                 nbuckets=2,
+                                 aligner=WavefrontAligner(use_tpu=False),
+                                 stop_after=stop)
+    """))
+    import shutil
+    import socket
+
+    def fresh_port():
+        sock = socket.socket()
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
+        sock.close()
+        return port
+
+    def run_phase(stop):
+        # coordinator init flakes under full-suite CPU contention
+        # (port race / slow barrier): retry on fresh ports
+        outs = []
+        for attempt in range(3):
+            port = fresh_port()
+            procs = [subprocess.Popen(
+                [sys.executable, str(worker), str(i), port]
+                + ([stop] if stop else []),
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                for i in range(2)]
+            outs = []
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out.decode()[-2000:])
+            if all(p.returncode == 0 for p in procs):
+                return
+        raise AssertionError("phase failed 3x:\n" + "\n---\n".join(outs))
+
+    shutil.rmtree(tmp_path / "outd", ignore_errors=True)
+    run_phase("seeds")          # "killed" after stage 1
+    outd = tmp_path / "outd"
+    assert (outd / "seeds.bed").exists() and (outd / "seeds.ok").exists()
+    assert not (outd / "final.bed").exists()
+    seeds_before = open(outd / "seeds.bed").read()
+    run_phase(None)             # resume: must skip stage 1
+    assert open(outd / "seeds.bed").read() == seeds_before
+
+    from sedef_tpu.models.pipeline import run_pipeline
+    from sedef_tpu.ops.wavefront import WavefrontAligner
+    single = run_pipeline(str(fa), str(tmp_path / "outs"), nbuckets=2,
+                          aligner=WavefrontAligner(use_tpu=False))
+    assert (open(outd / "final.bed").read()
+            == open(single["final"]).read())
+    assert (open(outd / "seeds.bed").read()
+            == open(single["seeds"]).read())
