@@ -125,8 +125,11 @@ def sampled_ref_diff(fa: str, jobs: int) -> dict:
         check=True).stdout.strip().split()[-1])
     assert numchrs == len(bins), (numchrs, len(bins))
     # bins are sorted by length desc -> the last two are the smallest
-    a, b = len(bins) - 1, len(bins) - 2
-    samples = [(a, b, False), (a, b, True), (a, a, False), (a, a, True)]
+    a = len(bins) - 1
+    b = max(0, len(bins) - 2)
+    samples = [(a, a, False), (a, a, True)]
+    if b != a:
+        samples = [(a, b, False), (a, b, True)] + samples
     cache = pl.IndexCache(fr, DEFAULT, use_device=False)
     out = {}
     for (i, j, rc) in samples:
