@@ -57,6 +57,8 @@ def e2e_metrics() -> dict:
     from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
     from sedef_tpu.ops.wavefront import WavefrontAligner
 
+    from sedef_tpu.native import lib as native
+
     chroms, planted = simulate_genome(20_000_000, 20, seed=7, n_chroms=4,
                                       repeat_families=20, repeat_copies=40)
     tmp = tempfile.mkdtemp()
@@ -66,9 +68,14 @@ def e2e_metrics() -> dict:
     bins = generate_translation(fr)
     n_jobs = len(bins) * (len(bins) + 1)  # i>=j x 2 strands
 
+    native.prof_reset()
     t0 = time.perf_counter()
     seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
     t_search = time.perf_counter() - t0
+    prof = native.prof_get()
+    phase_s = {k: round(prof[k] / 1e9, 2)
+               for k in ("collect", "cluster", "roll", "replay", "extend",
+                         "filter")}
     buckets = pl.bucket_stage(seeds, fr, bins, 16, DEFAULT,
                               tmp_dir=tmp + "/bucket_tmp")
     flat = [line for b in buckets for line in b]
@@ -83,6 +90,7 @@ def e2e_metrics() -> dict:
         "e2e_spec": "sim(20Mbp,4chr,fams20,copies40,seed7),jobs=2",
         "e2e_20mbp_s": round(t_e2e, 1),
         "stage1_20mbp_s": round(t_search, 1),
+        "stage1_phase_s": phase_s,
         "pair_jobs_per_hour": round(pair_jobs_per_hour),
         "pair_jobs_vs_ref_core": round(
             pair_jobs_per_hour / REF_PAIR_JOBS_PER_HOUR, 1),
