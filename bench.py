@@ -268,6 +268,21 @@ def main() -> None:
             extra.update(e2e_metrics())
         except Exception as e:  # pragma: no cover - keep the headline alive
             extra["e2e_error"] = str(e)[:120]
+        # hg19 dress-rehearsal result (generated offline by
+        # tools/hg19_rehearsal.py — a 3 Gbp / 24-chromosome run is not
+        # re-run inside the bench)
+        try:
+            import pathlib
+            rj = (pathlib.Path(__file__).parent / "docs"
+                  / "HG19_REHEARSAL.json")
+            if rj.exists():
+                rep = json.loads(rj.read_text())
+                pipe = rep.get("pipeline", {})
+                if pipe.get("wall_s"):
+                    extra["e2e_3gbp_s"] = pipe["wall_s"]
+                    extra["e2e_3gbp_spec"] = rep.get("spec", "")
+        except Exception:  # pragma: no cover
+            pass
         try:
             extra.update(prefilter_metrics())
         except Exception as e:  # pragma: no cover

@@ -195,7 +195,7 @@ def coverage_sum(intervals: list[tuple[int, int]]) -> int:
 def classify_pair(seq1: str, seq2: str, error: int,
                   cfg: Config = DEFAULT,
                   aligner: WavefrontAligner | None = None,
-                  freeroom: int = 0) -> str:
+                  freeroom: int = 0, seed_fn=None, chain_fn=None) -> str:
     """Jaccard-then-chain detection + coverage classification
     (simulations.py:264-313): 'hit', 'partial' or 'miss'.
 
@@ -203,9 +203,14 @@ def classify_pair(seq1: str, seq2: str, error: int,
     ``jaccard_align`` init_len makes it fire only from position-0 seeds;
     see its docstring), then seed hits are extended x5/15 Kbp, combined,
     and re-chained.
-    """
+
+    ``seed_fn(seq1, seq2)`` / ``chain_fn(sub1, sub2)`` override the two
+    engine primitives (objects with query_start/query_end/ref_start/
+    ref_end) — the hook the accuracy harness uses to run the REFERENCE
+    engine through the identical classification shape
+    (tools/accuracy_table.py --ref-oracle)."""
     alen = (len(seq1) + len(seq2)) / 2
-    seeds = seed_align(seq1, seq2, cfg)
+    seeds = seed_fn(seq1, seq2) if seed_fn else seed_align(seq1, seq2, cfg)
     t1 = []
     t2 = []
     for h in seeds:
@@ -222,7 +227,10 @@ def classify_pair(seq1: str, seq2: str, error: int,
         # only handles the single-interval case; multiple intervals are
         # rare and each is chained here for robustness)
         for (s1, e1), (s2, e2) in zip(c1, c2):
-            hits = chain_align(seq1[s1:e1], seq2[s2:e2], cfg, aligner)
+            if chain_fn is not None:
+                hits = chain_fn(seq1[s1:e1], seq2[s2:e2])
+            else:
+                hits = chain_align(seq1[s1:e1], seq2[s2:e2], cfg, aligner)
             jc1.extend((s1 + h.query_start, s1 + h.query_end) for h in hits)
             jc2.extend((s2 + h.ref_start, s2 + h.ref_end) for h in hits)
     jcsum = coverage_sum(jc1) + coverage_sum(jc2)

@@ -38,8 +38,58 @@ def chr_analog_sequence(length: int = 8_000_000) -> str:
     return "".join(chroms.values()).upper()
 
 
+class RefOracle:
+    """Reference PyAligner primitives via the compiled
+    tools/oracles/pair_classify_oracle (persistent subprocess)."""
+
+    class _Hit:
+        __slots__ = ("query_start", "query_end", "ref_start", "ref_end")
+
+        def __init__(self, qs, qe, rs, re_):
+            self.query_start, self.query_end = qs, qe
+            self.ref_start, self.ref_end = rs, re_
+
+    BIN = "/tmp/pair_classify_oracle"
+
+    def __init__(self):
+        import pathlib
+        import subprocess
+        if not pathlib.Path(self.BIN).exists():
+            ref = "/root/reference"
+            oracles = pathlib.Path(__file__).resolve().parent / "oracles"
+            srcs = ["search.cc", "sliding.cc", "filter.cc", "hash.cc",
+                    "hit.cc", "align.cc", "chain.cc", "refine.cc",
+                    "fasta.cc", "globals.cc"]
+            subprocess.run(
+                ["g++", "-std=c++14", "-O2", "-msse4.1", "-include",
+                 "algorithm", f"-I{ref}/src", f"-I{ref}",
+                 f"-I{oracles}/fakeboost",
+                 str(oracles / "pair_classify_oracle.cc")]
+                + [f"{ref}/src/{s}" for s in srcs]
+                + [f"{ref}/extern/format.cc",
+                   f"{ref}/extern/ksw2_extz2_sse.cc", "-o", self.BIN],
+                check=True, capture_output=True)
+        import subprocess as sp
+        self.p = sp.Popen([self.BIN], stdin=sp.PIPE, stdout=sp.PIPE,
+                          text=True, bufsize=1)
+
+    def _ask(self, mode, s1, s2):
+        self.p.stdin.write(f"{mode} {s1} {s2}\n")
+        self.p.stdin.flush()
+        toks = self.p.stdout.readline().split()
+        n = int(toks[0])
+        return [self._Hit(*(int(t) for t in toks[1 + 4 * i:5 + 4 * i]))
+                for i in range(n)]
+
+    def seed_fn(self, s1, s2):
+        return self._ask("J", s1, s2)
+
+    def chain_fn(self, s1, s2):
+        return self._ask("C", s1, s2)
+
+
 def one_rate(args):
-    error, runs, max_len, chr_analog = args
+    error, runs, max_len, chr_analog, ref_oracle = args
     import jax
     jax.config.update("jax_platforms", "cpu")
     from sedef_tpu.models.simulate import classify_pair, generate_random_sd
@@ -47,11 +97,15 @@ def one_rate(args):
     al = WavefrontAligner(use_tpu=False)
     seq = chr_analog_sequence() if chr_analog else None
     rng = random.Random(1000 + error)
+    kw = {}
+    if ref_oracle:
+        orc = RefOracle()
+        kw = dict(seed_fn=orc.seed_fn, chain_fn=orc.chain_fn)
     out = {"hit": 0, "miss": 0, "partial": 0}
     for _ in range(runs):
         s1, s2, _ = generate_random_sd(rng, error, seq=seq, min_len=1000,
                                        max_len=max_len)
-        out[classify_pair(s1, s2, error, aligner=al)] += 1
+        out[classify_pair(s1, s2, error, aligner=al, **kw)] += 1
     return error, out
 
 
@@ -62,6 +116,7 @@ def main():
     max_len = int(args[2]) if len(args) > 2 else 100_000
     jobs = os.cpu_count() or 2
     chr_analog = "--chr-analog" in sys.argv[1:]
+    ref_oracle = "--ref-oracle" in sys.argv[1:]
     for a in sys.argv[1:]:
         if a.startswith("--jobs="):
             jobs = int(a.split("=")[1])
@@ -76,7 +131,7 @@ def main():
         if hi != lo:
             order.append(rates[hi])
         lo, hi = lo + 1, hi - 1
-    work = [(e, runs, max_len, chr_analog) for e in order]
+    work = [(e, runs, max_len, chr_analog, ref_oracle) for e in order]
     print("error;hits;misses;partials", flush=True)
     if jobs > 1:
         from concurrent.futures import ProcessPoolExecutor
