@@ -521,15 +521,29 @@ def bucket_stage(seed_lines, fr: FastaReference,
 def align_stage(bucket_lines: list[str], fr: FastaReference,
                 cfg: Config = DEFAULT,
                 aligner: WavefrontAligner | None = None,
-                kmer_size: int = 11, jobs: int = 1) -> list[str]:
+                kmer_size: int = 11, jobs: int = 1,
+                progress=None) -> list[str]:
     """Stage 2b (align_main.cc:285-337): fast_align per extended region,
     coordinates lifted back to chromosome space.
 
     ``jobs > 1`` runs regions on a thread pool with a coalescing aligner:
     concurrent gap-alignment batches merge into single device dispatches
-    (output order and content are unchanged — see CoalescingAligner)."""
+    (output order and content are unchanged — see CoalescingAligner).
+    ``progress(done, total)`` is called after every region (the
+    reference's in-place progress bar, align_main.cc:308-309)."""
+    import threading
+    done_n = [0]
+    plock = threading.Lock()
 
     def one(line: str) -> list[str]:
+        rows = _one_inner(line)
+        if progress is not None:
+            with plock:
+                done_n[0] += 1
+                progress(done_n[0], len(bucket_lines))
+        return rows
+
+    def _one_inner(line: str) -> list[str]:
         if not line.strip():
             return []
         out: list[str] = []
@@ -720,8 +734,17 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         # one flat region list: per-region threads + the coalescing
         # aligner batch gap DPs across ALL regions per device dispatch
         flat = [line for bucket in buckets for line in bucket]
+
+        def _aprog(done, total):
+            if not quiet and (done % 256 == 0 or done == total):
+                print(f"\r[align] {done}/{total} regions", end="",
+                      file=sys.stderr, flush=True)
+
         aligned = align_stage(flat, fr, cfg, aligner,
-                              jobs=max(jobs, 8) if len(flat) > 1 else 1)
+                              jobs=max(jobs, 8) if len(flat) > 1 else 1,
+                              progress=_aprog)
+        if not quiet and flat:
+            print("", file=sys.stderr)
         aligned = canonical_sort_uniq(aligned)
         _eprn(f"[align]  {time.time() - t0:8.1f}s  "
               f"{len(aligned)} alignments", quiet)
