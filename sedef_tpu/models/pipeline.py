@@ -301,7 +301,13 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     value is the total line count instead of a list — the analog of the
     reference's per-job ``seeds/{i}_{j}_{m}.bed`` redirects
     (sedef.sh:137), bounding stage-1 output memory by a 2*jobs window of
-    jobs instead of the genome-wide seed set."""
+    jobs instead of the genome-wide seed set.
+
+    ``shard_bp`` switches to the fine-grained unit scheduler
+    (_search_stage_sharded): every chromosome pair splits into
+    ~shard_bp query-range shards, byte-identical via the speculative
+    fixpoint of seeder.ShardedPairSearch; ``unit_report`` (out) then
+    receives (job, pair, shard, cost, round1_s, device) per unit."""
     nbins = len(bins)
     todo = [(i, j, is_rc)
             for j in range(nbins)
