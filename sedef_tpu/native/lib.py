@@ -84,6 +84,13 @@ if _lib is not None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, _u8, _i32,
         ctypes.c_int64]
 
+    if hasattr(_lib, "sedef_anchors"):
+        _lib.sedef_anchors.restype = ctypes.c_int64
+        _lib.sedef_anchors.argtypes = [
+            _u8, ctypes.c_int64, _u8, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            _i32, ctypes.c_int64]
+
     _lib.sedef_chain.restype = ctypes.c_int64
     _lib.sedef_chain.argtypes = [
         _i32, _i32, _i32, _i32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -325,6 +332,22 @@ def backtrack(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:
     n = _lib.sedef_backtrack(p, p.shape[1], qlen, tlen, ops, lens, cap)
     assert n >= 0
     return [(chr(ops[i]), int(lens[i])) for i in range(n)]
+
+
+def anchors(query: bytes, ref: bytes, same_chr: bool, oqs: int, ors: int,
+            k: int, max_posting: int = 1000) -> np.ndarray:
+    """Exact k-mer anchors via the native scan; returns (n, 4) int32
+    (q, r, len, has_u) in q-major emission order."""
+    qa = np.frombuffer(query, dtype=np.uint8)
+    ra = np.frombuffer(ref, dtype=np.uint8)
+    cap = 4 * max(1 << 12, len(qa) // 4)
+    while True:
+        out = np.empty(cap, dtype=np.int32)
+        n = _lib.sedef_anchors(qa, len(qa), ra, len(ra), int(same_chr),
+                               oqs, ors, k, max_posting, out, cap)
+        if n >= 0:
+            return out[:n * 4].reshape(n, 4).copy()
+        cap = max(cap * 4, (int(-n) - 1) * 16 + 64)
 
 
 def chain(aq, ar, al, ahu, max_chain_gap: int, match_chain_score: int):

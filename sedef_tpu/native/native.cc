@@ -23,6 +23,7 @@
 #include <ctime>
 #include <map>
 #include <set>
+#include <unordered_map>
 #include <vector>
 
 // ---------------------------------------------------------------------------
@@ -1371,6 +1372,129 @@ struct PTree {
 };
 
 }  // namespace chain_dp
+
+// Exact k-mer anchor generation (ops/anchors.py / chain.cc:24-101
+// semantics): hash-join of query/ref k-mers (case-insensitive 2-bit
+// codes, N-containing k-mers excluded, posting lists of size >=
+// max_posting skipped), greedy maximal exact-match extension along
+// diagonals with the per-diagonal slide dedup, q-major emission.
+// q/r: raw sequence bytes (ASCII).  Outputs 4 x int32 per anchor
+// (q, r, len, has_u).  Returns anchor count, or -needed-1 on overflow.
+int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
+                      int64_t rlen, int same_chr, int64_t oqs, int64_t ors,
+                      int k, int max_posting, int32_t *out,
+                      int64_t out_cap) {
+  const int64_t nq = qlen - k + 1, nr = rlen - k + 1;
+  if (nq <= 0 || nr <= 0) return 0;
+  auto code_of = [](uint8_t c) -> int32_t {
+    switch (c) {
+      case 'A': case 'a': return 0;
+      case 'C': case 'c': return 1;
+      case 'G': case 'g': return 2;
+      case 'T': case 't': return 3;
+      default: return 0;  // hash_dna maps everything else to 0
+    }
+  };
+  auto upper_of = [](uint8_t c) -> uint8_t {
+    return (c >= 'a' && c <= 'z') ? (uint8_t)(c - 32) : c;
+  };
+  auto is_n = [](uint8_t c) { return c == 'N' || c == 'n'; };
+
+  // normalized compare buffers: toupper, N mapped to per-side sentinels
+  // (so N always mismatches), 8 trailing pad bytes that mismatch each
+  // other — the word-wise extension below stops at sequence ends
+  // without explicit bounds checks.  Uppercase prefix sums give has_u
+  // in O(1) per anchor.
+  std::vector<uint8_t> qn(qlen + 8, 3), rn(rlen + 8, 5);
+  std::vector<int32_t> puq(qlen + 1, 0), pur(rlen + 1, 0);
+  for (int64_t i = 0; i < qlen; i++) {
+    uint8_t c = q[i];
+    qn[i] = is_n(c) ? 1 : upper_of(c);
+    puq[i + 1] = puq[i] + (c >= 'A' && c <= 'Z');
+  }
+  for (int64_t i = 0; i < rlen; i++) {
+    uint8_t c = r[i];
+    rn[i] = is_n(c) ? 2 : upper_of(c);
+    pur[i + 1] = pur[i] + (c >= 'A' && c <= 'Z');
+  }
+
+  // sorted (hash << 32 | pos) of valid ref k-mers: posting lists are
+  // contiguous runs, pos ascending within a run
+  const int64_t mask = (1u << (2 * k)) - 1;
+  std::vector<uint64_t> rv;
+  rv.reserve(nr);
+  {
+    uint32_t h = 0;
+    int last_n = -1;
+    for (int64_t i = 0; i < rlen; i++) {
+      if (is_n(r[i])) last_n = (int)i;
+      h = (uint32_t)(((h << 2) | (uint32_t)code_of(r[i])) & mask);
+      int64_t p = i - k + 1;
+      if (p >= 0 && last_n < p)
+        rv.push_back(((uint64_t)h << 32) | (uint64_t)p);
+    }
+  }
+  if (rv.empty()) return 0;
+  std::sort(rv.begin(), rv.end());
+
+  std::vector<int32_t> anchors;  // flat (q, r, len, has_u)
+  std::unordered_map<int64_t, int64_t> slide;
+  slide.reserve(256);
+
+  uint32_t h = 0;
+  int last_n = -1;
+  for (int64_t i = 0; i < qlen; i++) {
+    if (is_n(q[i])) last_n = (int)i;
+    h = (uint32_t)(((h << 2) | (uint32_t)code_of(q[i])) & mask);
+    int64_t qp = i - k + 1;
+    if (qp < 0 || last_n >= qp) continue;
+    uint64_t key = (uint64_t)h << 32;
+    auto lo = std::lower_bound(rv.begin(), rv.end(), key);
+    auto hi = std::lower_bound(rv.begin(), rv.end(), key + (1ull << 32));
+    int64_t sz = hi - lo;
+    if (sz == 0 || sz >= max_posting) continue;  // chain.cc:61
+    for (auto it = lo; it != hi; ++it) {
+      int64_t rp = (int64_t)(*it & 0xffffffffull);
+      if (same_chr &&
+          std::llabs((ors + rp) - (oqs + qp)) <= k)
+        continue;  // chain.cc:67-69 near-diagonal self matches
+      int64_t diag = qlen + rp - qp;
+      auto sit = slide.find(diag);
+      if (sit != slide.end() && qp < sit->second) continue;
+      // greedy maximal exact extension: word-wise compare over the
+      // normalized buffers (the differing pads stop it at either end)
+      int64_t ln = 0;
+      {
+        const uint8_t *qa = qn.data() + qp;
+        const uint8_t *ra = rn.data() + rp;
+        for (;;) {
+          uint64_t wq, wr;
+          std::memcpy(&wq, qa + ln, 8);
+          std::memcpy(&wr, ra + ln, 8);
+          if (wq != wr) {
+            uint64_t x = wq ^ wr;
+            ln += (int64_t)(__builtin_ctzll(x) >> 3);
+            break;
+          }
+          ln += 8;
+        }
+      }
+      int has_u = (puq[qp + ln] - puq[qp]) + (pur[rp + ln] - pur[rp]) > 0
+                      ? 1 : 0;
+      if (ln < k) continue;  // N inside the seed window cannot happen
+                             // (valid mask), but stay defensive
+      if ((int64_t)anchors.size() + 4 > out_cap)
+        return -((int64_t)anchors.size() / 4) - 1;
+      anchors.push_back((int32_t)qp);
+      anchors.push_back((int32_t)rp);
+      anchors.push_back((int32_t)ln);
+      anchors.push_back(has_u);
+      slide[diag] = qp + ln;
+    }
+  }
+  std::memcpy(out, anchors.data(), anchors.size() * sizeof(int32_t));
+  return (int64_t)anchors.size() / 4;
+}
 
 // anchors: (q, r, l, has_u) arrays; outputs: path (anchor indices) and
 // boundaries (end offsets + has_u sums).  Returns number of boundaries,

@@ -53,6 +53,20 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
                      orig_query_start: int, orig_ref_start: int,
                      kmer_size: int, max_posting: int = 1000
                      ) -> list[Anchor]:
+    try:
+        from ..native import lib as _native
+    except Exception:  # pragma: no cover
+        _native = None
+    if (_native is not None and _native.has("anchors")
+            and 2 * kmer_size <= 30):
+        # native scalar scan: ~6x the vectorized numpy join on the
+        # production region sizes (profiled round 4: generate_anchors
+        # was 67% of align-stage region time)
+        rows = _native.anchors(query.encode(), ref.encode(), same_chr,
+                               orig_query_start, orig_ref_start,
+                               kmer_size, max_posting)
+        return [Anchor(int(q), int(r), int(l), int(u))
+                for q, r, l, u in rows]
     qh, qv = _kmer_hashes(query, kmer_size)
     rh, rv = _kmer_hashes(ref, kmer_size)
     if qh.size == 0 or rh.size == 0:
