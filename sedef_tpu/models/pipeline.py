@@ -316,6 +316,15 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     if cache is None:
         cache = IndexCache(fr, cfg, use_device)
 
+    if shard_bp is None and jobs > 1:
+        # default: fine-grained units whenever a pool exists — measured
+        # 22% faster on the 20 Mbp e2e spec at 2 threads (2.57 -> 2.01 s,
+        # byte-identical), and the granularity the multi-chip/multi-host
+        # schedules need.  SEDEF_SHARD_BP=0 restores whole-job units
+        # (whose bounded submission window caps output memory at O(jobs)
+        # jobs; the sharded path buffers completed pairs until their job
+        # is consumed).
+        shard_bp = int(os.environ.get("SEDEF_SHARD_BP", 2_000_000))
     if shard_bp:
         from ..native import lib as _native
         if _native is not None and _native.has("search_range"):
