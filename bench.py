@@ -140,7 +140,11 @@ def prefilter_metrics() -> dict:
             bins = generate_translation(fr)
             native.prof_reset()
             t0 = time.perf_counter()
-            seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
+            # shard_bp=0: the prefilter lives on the whole-job path
+            # (the sharded default never dispatches it); measure that
+            # path so the off/forced comparison stays meaningful
+            seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2,
+                                    shard_bp=0)
             dt = time.perf_counter() - t0
             prof = native.prof_get()
             out[f"prefilter_{label}_stage1_s"] = round(dt, 1)

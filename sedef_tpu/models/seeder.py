@@ -465,6 +465,9 @@ ROLL_DEVICE_MIN = int(__import__("os").environ.get(
 # the 0.38 s roll phase.  The machinery stays byte-identical and fully
 # tested (tests/test_prefilter.py) for hosts where CPU cycles are the
 # scarce resource and the chip is local (no ~30 ms tunnel round trips).
+# NOTE: the sharded stage-1 default (pipeline.search_stage shard_bp)
+# never dispatches device engines — opting in also requires
+# SEDEF_SHARD_BP=0 (the whole-job path).
 PREFILTER_ON = __import__("os").environ.get("SEDEF_PREFILTER", "") != ""
 
 # dispatch floor, in planned roll steps per chromosome pair.  Measured
