@@ -347,6 +347,8 @@ def anchors(query: bytes, ref: bytes, same_chr: bool, oqs: int, ors: int,
                                oqs, ors, k, max_posting, out, cap)
         if n >= 0:
             return out[:n * 4].reshape(n, 4).copy()
+        if n == -2:
+            raise ValueError("sedef_anchors requires k <= 12")
         cap = max(cap * 4, (int(-n) - 1) * 16 + 64)
 
 

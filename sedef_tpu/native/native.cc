@@ -1437,9 +1437,54 @@ int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
   if (rv.empty()) return 0;
   std::sort(rv.begin(), rv.end());
 
+  // O(1) posting lookup: epoch-stamped direct-address table over the
+  // 2^(2k) hash space (k=11 -> 4M entries; the reference's
+  // unordered_map lookup is what made its per-core anchor scan beat the
+  // binary-searched sorted vector).  thread_local + epoch stamp: no
+  // per-call clearing.
+  static thread_local std::vector<uint32_t> tbl_ep;
+  static thread_local std::vector<int32_t> tbl_lo, tbl_cnt;
+  static thread_local uint32_t tbl_epoch = 0;
+  const size_t tbl_n = (size_t)1 << (2 * k);
+  if (2 * k > 24) return -2;  // direct table infeasible; caller must
+                              // keep k <= 12 on the native path
+  if (tbl_ep.size() < tbl_n) {
+    tbl_ep.assign(tbl_n, 0);
+    tbl_lo.resize(tbl_n);
+    tbl_cnt.resize(tbl_n);
+    tbl_epoch = 0;
+  }
+  if (++tbl_epoch == 0) {  // uint32 wrap: restamp
+    std::fill(tbl_ep.begin(), tbl_ep.end(), 0u);
+    tbl_epoch = 1;
+  }
+  for (size_t i = 0; i < rv.size();) {
+    uint32_t hh = (uint32_t)(rv[i] >> 32);
+    size_t j = i;
+    while (j < rv.size() && (uint32_t)(rv[j] >> 32) == hh) j++;
+    tbl_ep[hh] = tbl_epoch;
+    tbl_lo[hh] = (int32_t)i;
+    tbl_cnt[hh] = (int32_t)(j - i);
+    i = j;
+  }
+
+  // per-diagonal slide as an epoch-stamped flat array (diag in
+  // [0, qlen + rlen))
+  static thread_local std::vector<uint32_t> sl_ep;
+  static thread_local std::vector<int64_t> sl_val;
+  static thread_local uint32_t sl_epoch = 0;
+  const size_t sl_n = (size_t)(qlen + rlen + 1);
+  if (sl_ep.size() < sl_n) {
+    sl_ep.assign(std::max(sl_n, sl_ep.size() * 2), 0);
+    sl_val.resize(sl_ep.size());
+    sl_epoch = 0;
+  }
+  if (++sl_epoch == 0) {  // uint32 wrap: restamp
+    std::fill(sl_ep.begin(), sl_ep.end(), 0u);
+    sl_epoch = 1;
+  }
+
   std::vector<int32_t> anchors;  // flat (q, r, len, has_u)
-  std::unordered_map<int64_t, int64_t> slide;
-  slide.reserve(256);
 
   uint32_t h = 0;
   int last_n = -1;
@@ -1448,19 +1493,18 @@ int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
     h = (uint32_t)(((h << 2) | (uint32_t)code_of(q[i])) & mask);
     int64_t qp = i - k + 1;
     if (qp < 0 || last_n >= qp) continue;
-    uint64_t key = (uint64_t)h << 32;
-    auto lo = std::lower_bound(rv.begin(), rv.end(), key);
-    auto hi = std::lower_bound(rv.begin(), rv.end(), key + (1ull << 32));
-    int64_t sz = hi - lo;
-    if (sz == 0 || sz >= max_posting) continue;  // chain.cc:61
+    if (tbl_ep[h] != tbl_epoch) continue;
+    int64_t sz = tbl_cnt[h];
+    if (sz >= max_posting) continue;  // chain.cc:61
+    const uint64_t *lo = rv.data() + tbl_lo[h];
+    const uint64_t *hi = lo + sz;
     for (auto it = lo; it != hi; ++it) {
       int64_t rp = (int64_t)(*it & 0xffffffffull);
       if (same_chr &&
           std::llabs((ors + rp) - (oqs + qp)) <= k)
         continue;  // chain.cc:67-69 near-diagonal self matches
       int64_t diag = qlen + rp - qp;
-      auto sit = slide.find(diag);
-      if (sit != slide.end() && qp < sit->second) continue;
+      if (sl_ep[diag] == sl_epoch && qp < sl_val[diag]) continue;
       // greedy maximal exact extension: word-wise compare over the
       // normalized buffers (the differing pads stop it at either end)
       int64_t ln = 0;
@@ -1489,7 +1533,8 @@ int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
       anchors.push_back((int32_t)rp);
       anchors.push_back((int32_t)ln);
       anchors.push_back(has_u);
-      slide[diag] = qp + ln;
+      sl_ep[diag] = sl_epoch;
+      sl_val[diag] = qp + ln;
     }
   }
   std::memcpy(out, anchors.data(), anchors.size() * sizeof(int32_t));

@@ -58,7 +58,7 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
     except Exception:  # pragma: no cover
         _native = None
     if (_native is not None and _native.has("anchors")
-            and 2 * kmer_size <= 30):
+            and 2 * kmer_size <= 24):
         # native scalar scan: ~6x the vectorized numpy join on the
         # production region sizes (profiled round 4: generate_anchors
         # was 67% of align-stage region time)
