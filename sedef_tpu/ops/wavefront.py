@@ -35,6 +35,7 @@ the target (seq B).  Gap placement follows ksw2's left-alignment tie-break.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1760,6 +1761,15 @@ class WavefrontAligner:
     # tunneled (axon) device at ~500 ms round trips; a directly attached
     # chip breaks even around 8-16.
     DEVICE_BATCH_MIN = 256
+    # ... AND must carry at least this much real DP work.  A 256-batch of
+    # ~2 Kbp gap DPs is ~13 ms of native scalar work — routing it through
+    # a ~60 ms tunnel round trip is a loss (measured on the 20 Mbp e2e
+    # spec: device-batched align ~12 s vs 5.4 s all-native).  At the
+    # native scalar's ~0.5 GCUPS, 2^25 cells ~= 70 ms of host work — the
+    # tunnel RTT breakeven; a directly attached chip could drop this ~10x
+    # (override with SEDEF_DEVICE_BATCH_MIN_CELLS).
+    DEVICE_BATCH_MIN_CELLS = int(os.environ.get(
+        "SEDEF_DEVICE_BATCH_MIN_CELLS", 1 << 25))
     # problems above this many cells route to the tiled checkpoint/
     # recompute device path (wavefront_cigar_tiled) when a TPU is present:
     # 2x-fill on the kernel beats the 0.49-GCUPS native scalar DP well
@@ -1805,8 +1815,12 @@ class WavefrontAligner:
                     native_idx.append(idx)
             if (self.use_tpu and not self.interpret and not tripped()
                     and len(native_idx) >= self.DEVICE_BATCH_MIN):
-                device_idx += native_idx
-                native_idx = []
+                bulk_cells = sum(
+                    len(pairs[i][0]) * len(pairs[i][1])
+                    for i in native_idx)
+                if bulk_cells >= self.DEVICE_BATCH_MIN_CELLS:
+                    device_idx += native_idx
+                    native_idx = []
             for idx in native_idx:
                 qc, tc = pairs[idx]
                 results[idx] = native.align(
