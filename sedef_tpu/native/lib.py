@@ -47,6 +47,8 @@ if _lib is not None:
         # optional device plan (pass None to disable)
         + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        # ref posting bucket index
+        + [_i32, ctypes.c_int]
         + [_i32, ctypes.c_int64, _i64])
 
     if hasattr(_lib, "sedef_search_range"):
@@ -61,6 +63,7 @@ if _lib is not None:
             + [ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
                _i32, ctypes.c_int64]
             + [_i32, _i32, ctypes.c_int64, _i64]
+            + [_i32, ctypes.c_int]
             + [_i32, ctypes.c_int64, _i64])
 
     if hasattr(_lib, "sedef_search_plan"):
@@ -71,6 +74,7 @@ if _lib is not None:
             ctypes.c_int64,
             ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_double,
             ctypes.c_int, ctypes.c_int,
+            _i32, ctypes.c_int,
             _i32, ctypes.c_int64, _i32, ctypes.c_int64, _i64]
 
     _lib.sedef_backtrack.restype = ctypes.c_int64
@@ -180,6 +184,7 @@ def search_plan(q_index, r_index, same_genome: bool, cfg):
             tau(cfg.search.max_edit_error, cfg.search.kmer_size, cfg),
             cfg.search.min_read_size, cfg.search.max_error,
             int(same_genome), int(cfg.internal.do_uppercase_seeds),
+            *r_index.posting_buckets(),
             win, win_cap, iv, iv_cap, counts)
         if rc == 0:
             n_win, n_iv = int(counts[0]), int(counts[1])
@@ -243,6 +248,7 @@ def search(q_index, r_index, same_genome: bool, cfg,
             int(cfg.internal.do_qgram),
             int(cfg.internal.do_uppercase_seeds),
             *plan_args,
+            *r_index.posting_buckets(),
             out, cap, counters)
         if n >= 0:
             from ..ops import filter as filt
@@ -298,6 +304,7 @@ def search_range(q_index, r_index, same_genome: bool, cfg,
             int(cfg.internal.do_uppercase_seeds),
             qi_lo, qi_hi, next_in, tree_in, len(tree_in),
             next_out, tree_out, tree_cap, n_tree_out,
+            *r_index.posting_buckets(),
             out, cap, counters)
         if n >= 0 and int(n_tree_out[0]) <= tree_cap:
             return (out[:n * 5].reshape(n, 5).copy(),

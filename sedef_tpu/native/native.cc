@@ -269,14 +269,28 @@ struct IndexView {
   const uint8_t *cls;    // per-base class (0 up, 1 low, 2 N)
   const uint8_t *code;   // per-base 2-bit code
   int64_t len;
+  // optional 16-bit radix bucket index over skeys: bucket_lo[b] = first
+  // skeys index with (key >> bucket_shift) >= b (65537 entries) — the
+  // posting binary search shrinks from log2(nmin) probes over the full
+  // array to a short scan within one bucket (ops/index.py
+  // posting_buckets)
+  const int32_t *bucket_lo = nullptr;
+  int bucket_shift = 0;
 
   int find_minimizers(int32_t p) const {
     return (int)(std::lower_bound(locs, locs + nmin, p) - locs);
   }
   // posting range for a key
   void posting(int64_t key, int64_t *lo, int64_t *hi) const {
-    *lo = std::lower_bound(skeys, skeys + nmin, key) - skeys;
-    *hi = std::upper_bound(skeys, skeys + nmin, key) - skeys;
+    const int64_t *base = skeys;
+    const int64_t *end = skeys + nmin;
+    if (bucket_lo) {
+      int64_t b = key >> bucket_shift;
+      base = skeys + bucket_lo[b];
+      end = skeys + bucket_lo[b + 1];
+    }
+    *lo = std::lower_bound(base, end, key) - skeys;
+    *hi = std::upper_bound(base, end, key) - skeys;
   }
 };
 
@@ -697,12 +711,13 @@ int64_t sedef_search_plan(
     int64_t r_len,
     int kmer_size, double tau_k, int min_read_size, double max_error,
     int same_genome, int do_uppercase_seeds,
+    const int32_t *r_bucket_lo, int r_bucket_shift,
     int32_t *win_out, int64_t win_cap, int32_t *iv_out, int64_t iv_cap,
     int64_t *counts_out) {
   IndexView Q{q_keys, q_locs, q_nmin, nullptr, nullptr, 0,
               nullptr, nullptr, q_len};
   IndexView R{r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold,
-              nullptr, nullptr, r_len};
+              nullptr, nullptr, r_len, r_bucket_lo, r_bucket_shift};
   SearchParams P{};
   P.kmer_size = kmer_size;
   P.tau_k = tau_k;
@@ -807,12 +822,14 @@ static int64_t search_core(
     // outgoing sequential state (may be null)
     int32_t *next_out, int32_t *tree_out, int64_t tree_cap,
     int64_t *n_tree_out,
+    // optional 16-bit radix bucket index over the ref postings
+    const int32_t *r_bucket_lo, int r_bucket_shift,
     // out
     int32_t *out, int64_t out_cap, int64_t *counters_out) {
   IndexView Q{q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold,
               q_cls, q_code, q_len};
   IndexView R{r_keys, r_locs, r_nmin, r_skeys, r_slocs, r_threshold,
-              r_cls, r_code, r_len};
+              r_cls, r_code, r_len, r_bucket_lo, r_bucket_shift};
   SearchParams P{kmer_size,    tau_k,        min_read_size, max_sd_size,
                  max_error,    max_edit_error, gap_frequency, min_uppercase,
                  do_uppercase, do_qgram,     do_uppercase_seeds, same_genome};
@@ -1013,6 +1030,8 @@ int64_t sedef_search(
     const int32_t *plan_win, int64_t n_plan_win,
     const int32_t *plan_iv, const int32_t *res_bj, const int32_t *res_bs,
     const uint8_t *res_ok,
+    // optional ref posting bucket index
+    const int32_t *r_bucket_lo, int r_bucket_shift,
     // out
     int32_t *out, int64_t out_cap, int64_t *counters_out) {
   return search_core(
@@ -1023,6 +1042,7 @@ int64_t sedef_search(
       do_uppercase, do_qgram, do_uppercase_seeds, plan_win, n_plan_win,
       plan_iv, res_bj, res_bs, res_ok,
       0, q_nmin, 0, nullptr, 0, nullptr, nullptr, 0, nullptr,
+      r_bucket_lo, r_bucket_shift,
       out, out_cap, counters_out);
 }
 
@@ -1050,6 +1070,7 @@ int64_t sedef_search_range(
     const int32_t *tree_in, int64_t n_tree_in,
     int32_t *next_out, int32_t *tree_out, int64_t tree_cap,
     int64_t *n_tree_out,
+    const int32_t *r_bucket_lo, int r_bucket_shift,
     int32_t *out, int64_t out_cap, int64_t *counters_out) {
   return search_core(
       q_keys, q_locs, q_nmin, q_skeys, q_slocs, q_threshold, q_cls, q_code,
@@ -1060,6 +1081,7 @@ int64_t sedef_search_range(
       nullptr, nullptr, nullptr,
       qi_lo, qi_hi, next_in, tree_in, n_tree_in,
       next_out, tree_out, tree_cap, n_tree_out,
+      r_bucket_lo, r_bucket_shift,
       out, out_cap, counters_out);
 }
 

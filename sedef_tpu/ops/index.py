@@ -124,6 +124,22 @@ class MinimizerIndex:
             cache[dkey] = dev
         return dev
 
+    def posting_buckets(self) -> tuple[np.ndarray, int]:
+        """16-bit radix bucket index over ``skeys`` for the native
+        posting lookup: (bucket_lo int32[65537], shift) with
+        bucket_lo[b] = first skeys index whose key >> shift >= b.  The
+        per-key binary search shrinks from log2(nmin) probes over the
+        whole array to a short scan inside one bucket.  Cached."""
+        cached = getattr(self, "_pbuckets", None)
+        if cached is None:
+            bits = 2 * self.kmer_size + 2
+            shift = max(0, bits - 16)
+            bounds = np.arange(65537, dtype=np.int64) << shift
+            lo = np.searchsorted(self.skeys, bounds,
+                                 side="left").astype(np.int32)
+            cached = self._pbuckets = (np.ascontiguousarray(lo), shift)
+        return cached
+
     def find_minimizers(self, p: int) -> int:
         """Index of first minimizer with loc >= p (``hash.cc:143-161``)."""
         return int(np.searchsorted(self.locs, p, side="left"))
