@@ -751,10 +751,40 @@ class ShardedPairSearch:
         if self._unit_times is not None:
             self._unit_times.extend(dt for _, dt in round1)
 
+        # Interface SANITIZATION (the rerun killer): a dedup rectangle
+        # with qe <= the shard's first minimizer locus is INERT — every
+        # window the shard processes has query_start >= that locus, so
+        # tree_covers / is_overlap probes (qs <= q < qe) can never match
+        # it, it contributes nothing to pruning decisions, and it stays
+        # inert for every later shard (loci ascend).  Likewise an
+        # incoming stride position <= the first locus skips nothing.
+        # Dropping both from the interface is therefore behavior- and
+        # output-invariant (by induction over shards), and it is what
+        # keeps the speculative empty-state guess exact on sparse
+        # genomes: unpruned rectangles LINGER in the sequential tree far
+        # past their live range (pruning only happens at did_work
+        # windows), and without sanitization nearly every shard's true
+        # incoming differs from the guess, degrading the fixpoint to
+        # ~2x sequential work (measured on 125 Mbp chromosomes).
+        locs = self.qh.locs
+        nq = len(locs)
+        first_loc = [int(locs[self.bounds[c]]) if self.bounds[c] < nq
+                     else (1 << 30) for c in range(self.C)]
+
+        def sanitize(c, nxt, tree):
+            fl = first_loc[c]
+            nxt = nxt if nxt > fl else 0
+            if len(tree):
+                tree = tree[tree[:, 1] > fl]
+            else:
+                tree = self._empty
+            return nxt, tree
+
         while True:
             incoming = [(0, self._empty)]
             for c in range(self.C - 1):
-                incoming.append((results[c][1], results[c][2]))
+                incoming.append(sanitize(c + 1, results[c][1],
+                                         results[c][2]))
             stale = [c for c in range(self.C)
                      if used[c][0] != incoming[c][0]
                      or not np.array_equal(used[c][1], incoming[c][1])]
