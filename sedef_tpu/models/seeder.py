@@ -790,12 +790,14 @@ class ShardedPairSearch:
                      or not np.array_equal(used[c][1], incoming[c][1])]
             if not stale:
                 break
-            if submit is None:
-                redone = [self._run(c, *incoming[c]) for c in stale]
-            else:
-                redone = [wait(f) for f in
-                          [submit(self._run, c, *incoming[c])
-                           for c in stale]]
+            # reruns execute INLINE on the consumer thread: with a shared
+            # pool, queued round-1 units of LATER pairs already occupy
+            # the workers, so a submitted rerun would wait at the back of
+            # the queue and serialize every pair's completion behind the
+            # whole stage's round 1 (measured: first progress line after
+            # ~15 min on a 3 Gbp genome).  Inline reruns overlap with the
+            # workers' round-1 stream instead.
+            redone = [self._run(c, *incoming[c]) for c in stale]
             for c, (r, _) in zip(stale, redone):
                 results[c] = r
                 used[c] = incoming[c]
