@@ -33,6 +33,16 @@ if _lib is not None:
     _lib.sedef_winnow.restype = ctypes.c_int64
     _lib.sedef_winnow.argtypes = [_i64, ctypes.c_int64, ctypes.c_int, _i64]
 
+    if hasattr(_lib, "sedef_winnow_fused"):
+        _lib.sedef_winnow_fused.restype = ctypes.c_int64
+        _lib.sedef_winnow_fused.argtypes = [
+            _u8, _u8, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            _i64, _i64]
+    if hasattr(_lib, "sedef_sort_minimizers"):
+        _lib.sedef_sort_minimizers.restype = ctypes.c_int64
+        _lib.sedef_sort_minimizers.argtypes = [
+            _i64, _i32, ctypes.c_int64, _i64, _i32]
+
     _lib.sedef_kmer_keys.restype = ctypes.c_int64
     _lib.sedef_kmer_keys.argtypes = [_u8, _u8, ctypes.c_int64,
                                      ctypes.c_int, _i64]
@@ -139,14 +149,25 @@ def kmer_keys(code: np.ndarray, cls: np.ndarray, k: int) -> np.ndarray:
 
 
 def winnow(code: np.ndarray, cls: np.ndarray, k: int, w: int):
+    n = code.shape[0] - k + 1
+    if n <= w:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
+    if has("winnow_fused"):
+        # fused k-mer + change-point scan: never materializes the full
+        # per-position key array (1 GB at 125 Mbp)
+        cps = np.empty(n, dtype=np.int64)
+        ck = np.empty(n, dtype=np.int64)
+        cnt = _lib.sedef_winnow_fused(np.ascontiguousarray(code),
+                                      np.ascontiguousarray(cls),
+                                      code.shape[0], k, w, cps, ck)
+        first = int(np.searchsorted(cps[:cnt], w, side="right")) - 1
+        locs = cps[first:cnt].astype(np.int32)
+        return ck[first:cnt].copy(), locs
     if has("kmer_keys"):
         keys = kmer_keys(code, cls, k)
     else:  # pragma: no cover
         from ..ops.winnow import kmer_keys_np
         keys = kmer_keys_np(code, cls, k)
-    n = keys.shape[0]
-    if n <= w:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int32)
     keys = np.ascontiguousarray(keys)
     out = np.empty(n, dtype=np.int64)
     cnt = _lib.sedef_winnow(keys, n, w, out)
@@ -154,6 +175,17 @@ def winnow(code: np.ndarray, cls: np.ndarray, k: int, w: int):
     first = int(np.searchsorted(cps, w, side="right")) - 1
     locs = cps[first:].astype(np.int32)
     return keys[locs], locs
+
+
+def sort_minimizers(keys: np.ndarray, locs: np.ndarray):
+    """Stable posting-order sort of (keys, locs) by key (= the exact
+    np.argsort(kind="stable") result; native LSD radix)."""
+    n = len(keys)
+    skeys = np.empty(n, dtype=np.int64)
+    slocs = np.empty(n, dtype=np.int32)
+    _lib.sedef_sort_minimizers(np.ascontiguousarray(keys),
+                               np.ascontiguousarray(locs), n, skeys, slocs)
+    return skeys, slocs
 
 
 def search_plan(q_index, r_index, same_genome: bool, cfg):

@@ -116,6 +116,114 @@ int64_t sedef_winnow(const int64_t *keys, int64_t n, int w, int64_t *out) {
   return cnt;
 }
 
+// Fused k-mer + winnow scan: computes each position's packed
+// (status, hash) key inline and runs the change-point scan above WITHOUT
+// materializing the full key array (125 Mbp => 1 GB of avoided traffic;
+// measured 10.9 -> ~2.5 s for the kmer+winnow+gather phases of a
+// 125 Mbp index build).  The deque stores (idx, key) pairs so no key is
+// ever re-read.  Emits change-point indices + their keys; the caller
+// slices from the last change point <= w exactly like sedef_winnow's
+// consumer (ops/winnow.py).
+int64_t sedef_winnow_fused(const uint8_t *code, const uint8_t *cls,
+                           int64_t len, int k, int w, int64_t *cps_out,
+                           int64_t *keys_out) {
+  const int64_t n = len - k + 1;
+  if (n <= 0) return 0;
+  const int64_t mask = ((int64_t)1 << (2 * k)) - 1;
+  const int shift = 2 * k;
+
+  // rolling key state
+  int64_t h = 0;
+  int cnt_n = 0, cnt_u = 0;
+  auto step = [&](int64_t i) {  // consume base i
+    h = ((h << 2) | code[i]) & mask;
+    cnt_n += cls[i] == 2;
+    cnt_u += cls[i] == 0;
+    if (i >= k) {
+      cnt_n -= cls[i - k] == 2;
+      cnt_u -= cls[i - k] == 0;
+    }
+  };
+  auto key_at = [&]() -> int64_t {
+    int64_t status = cnt_n ? 2 : (cnt_u ? 0 : 1);
+    return (status << shift) | h;
+  };
+
+  for (int64_t i = 0; i < k - 1; i++) step(i);
+
+  struct IK { int64_t idx, key; };
+  std::vector<IK> dq((size_t)std::min<int64_t>(n, w + 2) + 1);
+  const size_t dn = dq.size();
+  int64_t head = 0, tail = 0;
+
+  step(k - 1);
+  int64_t prev_key = key_at();  // key at p-1 (start: p=1 -> key[0])
+  int64_t cnt = 0;
+  cps_out[cnt] = 0;
+  keys_out[cnt] = prev_key;
+  cnt++;
+  int64_t q = 0;
+  int64_t m = prev_key;
+  for (int64_t p = 1; p < n; p++) {
+    // push key[p-1]
+    while (tail > head && dq[(tail - 1) % dn].key >= prev_key) tail--;
+    dq[tail % dn] = IK{p - 1, prev_key};
+    tail++;
+    while (tail > head && dq[head % dn].idx < p - w) head++;
+    step(p + k - 1);
+    int64_t kp = key_at();
+    int64_t bound = (q > p - w) ? m : dq[head % dn].key;
+    if (kp <= bound) {
+      cps_out[cnt] = p;
+      keys_out[cnt] = kp;
+      cnt++;
+      q = p;
+      m = kp;
+    } else if (kp < m) {
+      m = kp;
+    }
+    prev_key = kp;
+  }
+  return cnt;
+}
+
+// Stable LSD radix sort of (key, loc) minimizer pairs by key (locs are
+// in ascending position order on input, so stability gives the exact
+// np.argsort(kind="stable") posting order).  keys fit 2k+2 <= 31 bits
+// and locs < 2^31: packed into uint64 (key << 32 | loc), 4 x 16-bit
+// passes.  7M pairs: ~0.2 s vs ~2.2 s numpy argsort + gathers.
+int64_t sedef_sort_minimizers(const int64_t *keys, const int32_t *locs,
+                              int64_t n, int64_t *skeys_out,
+                              int32_t *slocs_out) {
+  if (n <= 0) return 0;
+  std::vector<uint64_t> a((size_t)n), b((size_t)n);
+  for (int64_t i = 0; i < n; i++)
+    a[i] = ((uint64_t)(uint64_t)keys[i] << 32) | (uint32_t)locs[i];
+  uint64_t *src = a.data(), *dst = b.data();
+  // LSD over the KEY bits only (2 x 16-bit passes cover 2k+2 <= 31
+  // bits); equal keys keep input order = ascending loc, so the packed
+  // loc bits never need sorting
+  for (int pass = 2; pass < 4; pass++) {
+    const int sh = pass * 16;
+    size_t cnt[65536] = {0};
+    for (int64_t i = 0; i < n; i++) cnt[(src[i] >> sh) & 0xffff]++;
+    size_t sum = 0;
+    for (int bkt = 0; bkt < 65536; bkt++) {
+      size_t c = cnt[bkt];
+      cnt[bkt] = sum;
+      sum += c;
+    }
+    for (int64_t i = 0; i < n; i++)
+      dst[cnt[(src[i] >> sh) & 0xffff]++] = src[i];
+    std::swap(src, dst);
+  }
+  for (int64_t i = 0; i < n; i++) {
+    skeys_out[i] = (int64_t)(src[i] >> 32);
+    slocs_out[i] = (int32_t)(src[i] & 0xffffffffu);
+  }
+  return n;
+}
+
 // packed (status, hash) keys for every k-mer position
 // (ops/winnow.py kmer_keys_np; NumPy int64 shift/or chains are ~100x slower
 // than this single pass on some hosts)

@@ -62,15 +62,32 @@ class MinimizerIndex:
                                 keys - (1 << (2 * kmer_size)), keys)
             self.keys = keys          # int64, in locus order
             self.locs = locs          # int32, ascending
-            order = np.argsort(keys, kind="stable")
-            self.skeys = keys[order]
-            self.slocs = locs[order]
+            from .winnow import _native
+            if (_native is not None and _native.has("sort_minimizers")
+                    and len(keys) and 2 * kmer_size + 2 <= 31):
+                self.skeys, self.slocs = _native.sort_minimizers(keys,
+                                                                 locs)
+            else:
+                order = np.argsort(keys, kind="stable")
+                self.skeys = keys[order]
+                self.slocs = locs[order]
 
         # Frequency threshold (hash.cc:124-140): let ``ignore`` be the number
         # of distinct hashes we may drop; walking posting-list sizes from the
         # largest, the threshold is the smallest size still within budget.
         ignore = int((len(keys) * cfg.hash.index_cutoff) / 100.0)
-        uniq, counts = np.unique(self.skeys, return_counts=True)
+        if len(self.skeys):
+            # skeys is sorted: neighbour-compare beats np.unique's
+            # re-sort (1.7 -> ~0.2 s at 7M minimizers)
+            bound = np.empty(len(self.skeys), dtype=bool)
+            bound[0] = True
+            np.not_equal(self.skeys[1:], self.skeys[:-1], out=bound[1:])
+            uidx = np.nonzero(bound)[0]
+            uniq = self.skeys[uidx]
+            counts = np.diff(np.append(uidx, len(self.skeys)))
+        else:
+            uniq = self.skeys[:0]
+            counts = np.zeros(0, dtype=np.int64)
         self.threshold = 1 << 31
         if len(counts):
             sizes, nsizes = np.unique(counts, return_counts=True)
@@ -82,8 +99,12 @@ class MinimizerIndex:
                 else:
                     break
         self._uniq = uniq
-        self._starts = np.searchsorted(self.skeys, uniq, side="left")
-        self._ends = np.searchsorted(self.skeys, uniq, side="right")
+        if len(uniq):
+            self._starts = uidx
+            self._ends = np.append(uidx[1:], len(self.skeys))
+        else:
+            self._starts = np.zeros(0, dtype=np.int64)
+            self._ends = np.zeros(0, dtype=np.int64)
 
     def __len__(self) -> int:
         return len(self.keys)
