@@ -174,35 +174,29 @@ def _search_stage_sharded(fr, bins, cfg, cache, todo, shard_bp, jobs,
                           unit_report: list | None = None
                           ) -> "list[str] | int":
     """Fine-grained stage 1: every chromosome pair is split into
-    ~shard_bp query-range shards (seeder.ShardedPairSearch), all round-1
-    units are pre-submitted to one pool, and pairs are finished (fixpoint
-    + assembly) in deterministic job order.  Output is byte-identical to
-    the unsharded stage (tests/test_shard_search.py).
+    ~shard_bp query-range shards (seeder.ShardedPairSearch), round-1
+    units are submitted to one pool in a bounded PAIR WINDOW ahead of
+    the in-order consumer, and pairs are finished (fixpoint + assembly)
+    in deterministic job order.  Output is byte-identical to the
+    unsharded stage (tests/test_shard_search.py).
 
     The schedulable unit shrinks from a whole pair job to a query-range
     shard — the reference gets its balance from ~600 whole-pair
     processes (sedef.sh:133-140); one heavy self-search pair needs
-    sub-pair units.  ``unit_report`` (out) receives
-    (job_idx, pair_idx, shard_idx, cost, round1_seconds, device) per
-    unit; devices are assigned by LPT on the query-span x ref-len cost
-    model purely as scheduling bookkeeping (the shard itself is native
-    host code)."""
+    sub-pair units.  Pair state (index references + completed seed
+    lists) exists only inside the submission window
+    (``SEDEF_SHARD_WINDOW_PAIRS``, default max(16, 8*jobs)), so peak
+    RSS is O(window) pairs, not the whole job matrix — index builds
+    happen lazily inside the window and launch on the pool itself, so
+    they run in parallel and overlap the unit stream.
+
+    ``unit_report`` (out) receives (job_idx, pair_idx, shard_idx, cost,
+    round1_seconds, device) per unit; devices are assigned by LPT on the
+    query-len x ref-len cost model purely as scheduling bookkeeping (the
+    shard itself is native host code)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from .seeder import ShardedPairSearch
-
-    # prebuild every needed (chromosome, strand) index in parallel
-    needed: list[tuple[str, bool]] = []
-    seen: set[tuple[str, bool]] = set()
-    for (i, j, is_rc) in todo:
-        for r in bins[j]:
-            if (r, is_rc) not in seen:
-                seen.add((r, is_rc))
-                needed.append((r, is_rc))
-        for q in bins[i]:
-            if (q, False) not in seen:
-                seen.add((q, False))
-                needed.append((q, False))
 
     devices = []
     if cache.use_device:
@@ -210,65 +204,84 @@ def _search_stage_sharded(fr, bins, cfg, cache, todo, shard_bp, jobs,
         devices = list(jax.devices())
     n_sched = max(len(devices), 1)
 
-    job_pairs: list[list[ShardedPairSearch]] = []
+    # per-job pair descriptors + unit cost model from chromosome lengths
+    # alone (no index needed: scheduling must not force index builds)
+    desc: list[list[tuple[str, str, bool, bool, int]]] = []
     units: list[tuple[int, int, int, float]] = []
-    unit_dev: dict[tuple[int, int, int], int] = {}
+    for k, (i, j, is_rc) in enumerate(todo):
+        pair_list = []
+        for r in bins[j]:
+            rl = float(fr.length(r))
+            for q in bins[i]:
+                ql = fr.length(q)
+                n_sh = max(1, -(-ql // shard_bp))
+                p = len(pair_list)
+                pair_list.append((q, r, is_rc, (q == r) and not is_rc,
+                                  n_sh))
+                for c in range(n_sh):
+                    units.append((k, p, c, (ql / n_sh) * rl))
+        desc.append(pair_list)
 
-    def build_pairs():
-        for k, (i, j, is_rc) in enumerate(todo):
-            pair_list = []
-            for p_r, r in enumerate(bins[j]):
-                rh = cache.get(r, is_rc)
-                for p_q, q in enumerate(bins[i]):
-                    qh = cache.get(q, False)
-                    n_sh = max(1, -(-len(qh.seq) // shard_bp))
-                    sps = ShardedPairSearch(qh, rh,
-                                            (q == r) and not is_rc,
-                                            cfg, n_sh)
-                    p = len(pair_list)
-                    pair_list.append(sps)
-                    for c, cost in enumerate(sps.unit_costs()):
-                        units.append((k, p, c, cost))
-            job_pairs.append(pair_list)
+    # LPT schedule of units onto the device slots (bookkeeping for
+    # the balance metric; shards are native host work)
+    unit_dev: dict[tuple[int, int, int], int] = {}
+    loads = [0.0] * n_sched
+    for k, p, c, cost in sorted(units, key=lambda u: -u[3]):
+        d = min(range(n_sched), key=loads.__getitem__)
+        unit_dev[(k, p, c)] = d
+        loads[d] += cost
+    if device_assignment is not None:
+        device_assignment.extend(
+            unit_dev[(k, p, c)] for k, p, c, _ in units)
+    cost_of = {(k, p, c): cost for k, p, c, cost in units}
+
+    window = int(os.environ.get("SEDEF_SHARD_WINDOW_PAIRS", "0") or 0)
+    if window <= 0:
+        window = max(16, 8 * jobs)
 
     with ThreadPoolExecutor(max_workers=jobs) as ex:
-        list(ex.map(lambda t: cache.get(*t), needed))
-        build_pairs()
-
-        # LPT schedule of units onto the device slots (bookkeeping for
-        # the balance metric; shards are native host work)
-        loads = [0.0] * n_sched
-        for k, p, c, cost in sorted(units, key=lambda u: -u[3]):
-            d = min(range(n_sched), key=loads.__getitem__)
-            unit_dev[(k, p, c)] = d
-            loads[d] += cost
-        if device_assignment is not None:
-            device_assignment.extend(
-                unit_dev[(k, p, c)] for k, p, c, _ in units)
-
         times_of: dict[tuple[int, int], list] = {}
-        for k, pair_list in enumerate(job_pairs):
-            for p, sps in enumerate(pair_list):
-                times_of[(k, p)] = []
-                sps.submit_round1(ex.submit, times_of[(k, p)])
+        launched: dict[tuple[int, int], object] = {}  # -> Future[sps]
+        in_flight = 0          # pairs launched but not yet consumed
+        next_job = 0           # first job with unlaunched pairs
 
+        def launch_pair(k, p):
+            q, r, is_rc, same, n_sh = desc[k][p]
+            rh = cache.get(r, is_rc)
+            qh = cache.get(q, False)
+            sps = ShardedPairSearch(qh, rh, same, cfg, n_sh)
+            sps.submit_round1(ex.submit, times_of[(k, p)])
+            return sps
+
+        def top_up():
+            nonlocal in_flight, next_job
+            while next_job < len(todo) and in_flight < window:
+                k = next_job
+                for p in range(len(desc[k])):
+                    times_of[(k, p)] = []
+                    launched[(k, p)] = ex.submit(launch_pair, k, p)
+                in_flight += len(desc[k])
+                next_job += 1
+
+        top_up()
         lines: list[str] = []
         total = 0
         for k, (i, j, is_rc) in enumerate(todo):
             t0 = time.time()
             job_lines: list[str] = []
-            for p, sps in enumerate(job_pairs[k]):
-                job_lines.extend(h.to_bed()
-                                 for h in sps.finish(ex.submit))
-            dt = sum(sum(ts) for (kk, _), ts in times_of.items()
-                     if kk == k)
+            for p in range(len(desc[k])):
+                sps = launched.pop((k, p)).result()
+                job_lines.extend(h.to_bed() for h in sps.finish(ex.submit))
+            in_flight -= len(desc[k])
+            top_up()
+            dt = sum(sum(times_of[(k, p)]) for p in range(len(desc[k])))
             if unit_report is not None:
-                for p, sps in enumerate(job_pairs[k]):
+                for p in range(len(desc[k])):
                     for c, ut in enumerate(times_of[(k, p)]):
-                        cost = next(u[3] for u in units
-                                    if u[:3] == (k, p, c))
-                        unit_report.append(
-                            (k, p, c, cost, ut, unit_dev[(k, p, c)]))
+                        unit_report.append((k, p, c, cost_of[(k, p, c)],
+                                            ut, unit_dev[(k, p, c)]))
+            for p in range(len(desc[k])):
+                del times_of[(k, p)]
             if sink is None:
                 lines.extend(job_lines)
             else:
@@ -286,7 +299,9 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
                  device_assignment: list | None = None,
                  cache: "IndexCache | None" = None,
                  sink=None, shard_bp: int | None = None,
-                 unit_report: list | None = None) -> "list[str] | int":
+                 unit_report: list | None = None,
+                 todo: "list[tuple[int, int, bool]] | None" = None
+                 ) -> "list[str] | int":
     """Stage 1 over all (bin_i >= bin_j) x strand jobs (sedef.sh:133-140).
 
     ``jobs > 1`` fans the independent pair jobs over a thread pool (the
@@ -307,12 +322,17 @@ def search_stage(fr: FastaReference, bins: list[list[str]],
     (_search_stage_sharded): every chromosome pair splits into
     ~shard_bp query-range shards, byte-identical via the speculative
     fixpoint of seeder.ShardedPairSearch; ``unit_report`` (out) then
-    receives (job, pair, shard, cost, round1_s, device) per unit."""
+    receives (job, pair, shard, cost, round1_s, device) per unit.
+
+    ``todo`` overrides the job list (a multi-host driver passes its
+    slice of the global (i >= j) x strand matrix); default is the full
+    matrix."""
     nbins = len(bins)
-    todo = [(i, j, is_rc)
-            for j in range(nbins)
-            for i in range(j, nbins)
-            for is_rc in (False, True)]
+    if todo is None:
+        todo = [(i, j, is_rc)
+                for j in range(nbins)
+                for i in range(j, nbins)
+                for is_rc in (False, True)]
     if cache is None:
         cache = IndexCache(fr, cfg, use_device)
 
@@ -667,12 +687,22 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
 
+    from ..parallel.distributed import (guard_nonempty, manifest_of,
+                                        ok_valid, wipe_stage, write_ok)
+
     def _ok(stage: str) -> str:
         return os.path.join(out_dir, f"{stage}.ok")
 
     def _done(stage: str, path: str) -> bool:
-        return (not force and os.path.exists(_ok(stage))
-                and os.path.exists(path))
+        """Sentinel + content-manifest validation: a stage is resumed
+        only when the artifact still matches the size/rows/CRC its
+        sentinel certified (sentinel-without-content is the poisoned-
+        resume hole of VERDICT r4); otherwise the stage is wiped and
+        rerun."""
+        if force or not ok_valid(_ok(stage), path):
+            wipe_stage(out_dir, stage, [path])
+            return False
+        return True
 
     from ..ops import filter as filt
     seeds_path = os.path.join(out_dir, "seeds.bed")
@@ -730,11 +760,13 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
               f"interval-fail={filt.COUNTERS['interval']} "
               f"lowercase-fail={filt.COUNTERS['lowercase']} "
               f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
-        open(_ok("seeds"), "w").close()
+        write_ok(_ok("seeds"), seeds_path)
 
     aligned_path = os.path.join(out_dir, "aligned.bed")
     if _done("aligned", aligned_path):
         aligned = open(aligned_path).read().splitlines()
+        guard_nonempty("align (resumed)", len(aligned),
+                       manifest_of(seeds_path)["rows"])
         _eprn(f"[align]  resumed  {len(aligned)} alignments", quiet)
     else:
         t0 = time.time()
@@ -761,25 +793,31 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         if not quiet and flat:
             print("", file=sys.stderr)
         aligned = canonical_sort_uniq(aligned)
+        guard_nonempty("align", len(aligned),
+                       manifest_of(seeds_path)["rows"])
         _eprn(f"[align]  {time.time() - t0:8.1f}s  "
               f"{len(aligned)} alignments", quiet)
         with open(aligned_path, "w") as f:
             f.write("\n".join(aligned) + ("\n" if aligned else ""))
-        open(_ok("aligned"), "w").close()
+        write_ok(_ok("aligned"), aligned_path)
 
     final_path = os.path.join(out_dir, "final.bed")
     if _done("final", final_path):
+        guard_nonempty("stats (resumed)",
+                       max(manifest_of(final_path)["rows"] - 1, 0),
+                       len(aligned))
         _eprn("[stats]  resumed", quiet)
     else:
         t0 = time.time()
         final_rows = reporter.stats_rows(aligned, fr, cfg, jobs=jobs)
         final_rows = canonical_sort_uniq(final_rows)
+        guard_nonempty("stats", len(final_rows), len(aligned))
         _eprn(f"[stats]  {time.time() - t0:8.1f}s  "
               f"{len(final_rows)} final SDs", quiet)
         with open(final_path, "w") as f:
             f.write(reporter.HEADER + "\n")
             f.write("\n".join(final_rows) + ("\n" if final_rows else ""))
-        open(_ok("final"), "w").close()
+        write_ok(_ok("final"), final_path)
     paths = {"seeds": seeds_path, "aligned": aligned_path,
              "final": final_path}
     if wgac:

@@ -104,6 +104,9 @@ def test_distributed_two_processes(tmp_path):
         sys.path.insert(0, {str(pathlib_repo_root())!r})
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # exercise the fine-grained unit scheduler: the 30 Kbp
+        # chromosome splits into ~3 query-range shards per pair
+        os.environ["SEDEF_SHARD_BP"] = "10000"
         import jax
         jax.config.update("jax_platforms", "cpu")
         from sedef_tpu.parallel.distributed import (init_distributed,
@@ -251,6 +254,7 @@ def test_distributed_kill_and_resume(tmp_path):
         sys.path.insert(0, {pathlib_repo_root()!r})
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["SEDEF_SHARD_BP"] = "10000"
         import jax
         jax.config.update("jax_platforms", "cpu")
         from sedef_tpu.parallel.distributed import (init_distributed,
