@@ -42,6 +42,11 @@ class DiffResult:
                 f"       intersects         {self.intersect:12,}")
 
 
+def _isupper_count(seq: str) -> int:
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    return int(((raw >= 65) & (raw <= 90)).sum())
+
+
 def _mark(bits: dict, name: str, length: int, s: int, e: int) -> None:
     if name not in bits:
         bits[name] = np.zeros(length, dtype=bool)
@@ -66,8 +71,10 @@ def diff(fr: FastaReference, bed_lines: list[str], wgac_lines: list[str],
         re_ = min(h.ref_end, rlen)
         fa = fr.get_sequence(h.query.name, h.query_start, qe)
         fb = fr.get_sequence(h.ref.name, h.ref_start, re_)
-        if (uppercase_mask(fa).sum() < min_upper
-                or uppercase_mask(fb).sum() < min_upper):
+        # the filter counts isupper() bases — uppercase 'N' INCLUDED
+        # (stats_main.cc:416-425), unlike the informative mask below
+        if (_isupper_count(fa) < min_upper
+                or _isupper_count(fb) < min_upper):
             continue
         _mark(sedef, h.query.name, qlen, h.query_start, qe)
         _mark(sedef, h.ref.name, rlen, h.ref_start, re_)
