@@ -684,6 +684,11 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
     coverage diff after final.bed, like ``sedef.sh -w``
     (sedef.sh:246-257), writing ``wgac.report``."""
     os.makedirs(out_dir, exist_ok=True)
+    # hardware-adaptive dispatch policy: derive the device/host
+    # breakevens from this process's measured dispatch latency (the
+    # reference's -march=native analog, main.cc:112-123)
+    from .. import devcal
+    devcal.apply()
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
 

@@ -261,6 +261,8 @@ def run_pipeline_distributed(fasta_path: str, out_dir: str,
     ``SEDEF_SHARD_BP`` / 2 Mbp; 0 restores whole-pair-job units)."""
     pid, pcount = process_info()
     os.makedirs(out_dir, exist_ok=True)
+    from .. import devcal
+    devcal.apply()
     fr = FastaReference(fasta_path)
     bins = generate_translation(fr)
     nbins = len(bins)
