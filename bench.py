@@ -68,21 +68,25 @@ def e2e_metrics() -> dict:
     bins = generate_translation(fr)
     n_jobs = len(bins) * (len(bins) + 1)  # i>=j x 2 strands
 
+    # e2e: the PRODUCTION driver (run_pipeline), overlapped stages —
+    # align/stats consume merge bins while stage 1 streams (r5)
+    t0 = time.perf_counter()
+    out = pl.run_pipeline(fa, tmp + "/out", DEFAULT, nbuckets=16,
+                          aligner=WavefrontAligner(), jobs=2)
+    t_e2e = time.perf_counter() - t0
+    final = [ln for ln in open(out["final"]).read().splitlines()
+             if not ln.startswith("#")]
+
+    # stage 1 alone (fresh cache): phase counters + pair-job throughput
     native.prof_reset()
     t0 = time.perf_counter()
     seeds = pl.search_stage(fr, bins, DEFAULT, jobs=2)
     t_search = time.perf_counter() - t0
+    assert len(seeds) > 0
     prof = native.prof_get()
     phase_s = {k: round(prof[k] / 1e9, 2)
                for k in ("collect", "cluster", "roll", "replay", "extend",
                          "filter")}
-    buckets = pl.bucket_stage(seeds, fr, bins, 16, DEFAULT,
-                              tmp_dir=tmp + "/bucket_tmp")
-    flat = [line for b in buckets for line in b]
-    aligned = pl.canonical_sort_uniq(
-        pl.align_stage(flat, fr, DEFAULT, WavefrontAligner(), jobs=2))
-    final = pl.canonical_sort_uniq(reporter.stats_rows(aligned, fr, DEFAULT))
-    t_e2e = time.perf_counter() - t0
     from sedef_tpu.models.genome_sim import recall_of
     rec = recall_of(final, planted)
     pair_jobs_per_hour = n_jobs / (t_search / 3600.0)

@@ -626,6 +626,102 @@ def align_stage(bucket_lines: list[str], fr: FastaReference,
     return [row for rows in results for row in rows]
 
 
+class OverlappedTail:
+    """Cross-stage overlap driver (beats sedef.sh's strictly sequential
+    stage structure): while stage-1 pair jobs stream in, completed merge
+    bins flow straight through extend->merge->align->stats on a
+    background pool, so the chip's align dispatches run DURING stage 1
+    and the host's stats tallies run during the align round trips.
+
+    Correctness: a merge bin (a, b) receives hits only from the two
+    strand jobs of the unordered super-bin pair {a, b} (canonical_swap
+    can flip a hit to (b, a), never to a third bin), so the bin is
+    mergeable the moment both strands of its pair are consumed — and
+    both ``aligned.bed`` and ``final.bed`` are canonical_sort_uniq'd
+    sets, so processing order cannot change the bytes.  Region rows
+    round-trip through to_bed(False)/from_bed exactly like bucket_stage
+    (tmp-spill parity).  Byte-identity vs the sequential driver is
+    pinned by tests/test_overlap.py.
+
+    The complexity-stratified bucketing this bypasses exists only to
+    balance the reference's align PROCESSES (align_main.cc:38-198);
+    here the pool + coalescing aligner provide the balance, and the
+    bucket machinery remains for the CLI subcommand and the distributed
+    driver."""
+
+    def __init__(self, fr, bins, cfg, aligner, align_jobs: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..ops.cigar import default_aligner
+        from ..ops.wavefront import CoalescingAligner
+        self.fr = fr
+        self.cfg = cfg
+        self.lookup = {name: bi for bi, names in enumerate(bins)
+                       for name in names}
+        al = aligner if aligner is not None else default_aligner()
+        if not isinstance(al, CoalescingAligner):
+            al = CoalescingAligner(al)
+        self.al = al
+        self.ex = ThreadPoolExecutor(max_workers=align_jobs)
+        self.rows_of: dict[tuple[int, int], list[str]] = defaultdict(list)
+        self.futs: list = []
+        self.n_regions = 0
+
+    def add_job(self, i: int, j: int, is_rc: bool,
+                job_lines: list[str]) -> None:
+        """Feed one stage-1 job's seed lines (called in job order; the
+        rc=True call completes the {i, j} pair and flushes its bins)."""
+        for line in job_lines:
+            if not line.strip():
+                continue
+            h, _ = Hit.from_bed(line)
+            h.extend(self.cfg.extend.ratio, self.cfg.extend.max_extend)
+            canonical_swap(h)
+            key = (self.lookup[h.query.name], self.lookup[h.ref.name])
+            self.rows_of[key].append(h.to_bed(False))
+        if is_rc:
+            for key in ((i, j), (j, i)) if i != j else ((i, j),):
+                rows = self.rows_of.pop(key, None)
+                if rows:
+                    self._submit_bin(rows)
+
+    def _submit_bin(self, rows: list[str]) -> None:
+        hits = [Hit.from_bed(r)[0] for r in rows]
+        hits = merge_hits(hits, self.cfg.extend.merge_dist)
+        regions = []
+        for h in hits:
+            if h.query.is_rc:
+                h.query, h.ref = h.ref, h.query
+                h.query_start, h.ref_start = h.ref_start, h.query_start
+                h.query_end, h.ref_end = h.ref_end, h.query_end
+            regions.append(h.to_bed(False))
+        self.n_regions += len(regions)
+        for line in regions:
+            self.futs.append(self.ex.submit(self._region_task, line))
+
+    def _region_task(self, line: str) -> tuple[list[str], list[str]]:
+        aligned = align_stage([line], self.fr, self.cfg, self.al)
+        final = reporter.stats_rows(aligned, self.fr, self.cfg)
+        return aligned, final
+
+    def finish(self) -> tuple[list[str], list[str], int]:
+        """Drain: flush any unpaired bins (defensive; job order always
+        pairs strands), wait for every region, return
+        (aligned_rows, final_rows, n_regions) — both unsorted."""
+        for key in list(self.rows_of):
+            rows = self.rows_of.pop(key)
+            if rows:
+                self._submit_bin(rows)
+        aligned_all: list[str] = []
+        final_all: list[str] = []
+        for f in self.futs:
+            a, s = f.result()
+            aligned_all.extend(a)
+            final_all.extend(s)
+        self.ex.shutdown()
+        return aligned_all, final_all, self.n_regions
+
+
 _V_RE = re.compile(r"(\d+)")
 
 
@@ -711,7 +807,22 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
 
     from ..ops import filter as filt
     seeds_path = os.path.join(out_dir, "seeds.bed")
-    if _done("seeds", seeds_path):
+    aligned_path = os.path.join(out_dir, "aligned.bed")
+    final_path = os.path.join(out_dir, "final.bed")
+
+    # cross-stage overlap (default on for fresh runs): align + stats
+    # consume completed merge bins WHILE stage 1 streams pair jobs —
+    # the chip no longer idles through stage 1.  SEDEF_NO_OVERLAP=1
+    # restores the reference's strictly sequential stage structure
+    # (sedef.sh:163-240); resumes always take the sequential path.
+    seeds_done = _done("seeds", seeds_path)
+    tail: OverlappedTail | None = None
+    if (not seeds_done and not os.environ.get("SEDEF_NO_OVERLAP", "")
+            and not _done("aligned", aligned_path)):
+        tail = OverlappedTail(fr, bins, cfg, aligner,
+                              align_jobs=max(jobs, 8))
+
+    if seeds_done:
         with open(seeds_path) as f:
             n_seeds = sum(1 for line in f if line.strip())
         _eprn(f"[search] resumed  {n_seeds} seeds", quiet)
@@ -737,12 +848,23 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         # per-job seeds/*.bed redirects, sedef.sh:137): stage-1 output
         # memory is bounded by a 2*jobs window of pair jobs (the bounded
         # submission window in search_stage), not the genome's seed set
+        todo_order = [(i, j, is_rc)
+                      for j in range(len(bins))
+                      for i in range(j, len(bins))
+                      for is_rc in (False, True)]
+        job_idx = [0]
         with open(seeds_path, "w") as seeds_f:
+
+            def _sink(job):
+                seeds_f.writelines(ln + "\n" for ln in job)
+                if tail is not None:
+                    i, j, is_rc = todo_order[job_idx[0]]
+                    tail.add_job(i, j, is_rc, job)
+                job_idx[0] += 1
+
             n_seeds = search_stage(
                 fr, bins, cfg, use_device=use_device, jobs=jobs,
-                progress=_audit,
-                sink=lambda job: seeds_f.writelines(
-                    ln + "\n" for ln in job))
+                progress=_audit, sink=_sink)
         if not quiet:
             print("", file=sys.stderr)
         with open(os.path.join(out_dir, "seeds.joblog"), "w") as f:
@@ -767,7 +889,34 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
               f"qgram-fail={filt.COUNTERS['qgram']})", quiet)
         write_ok(_ok("seeds"), seeds_path)
 
-    aligned_path = os.path.join(out_dir, "aligned.bed")
+    if tail is not None:
+        # drain the overlapped align+stats tail: most regions already
+        # completed during stage 1; write both artifacts with their
+        # sentinels exactly as the sequential path would
+        t0 = time.time()
+        aligned_rows, final_rows, n_regions = tail.finish()
+        aligned = canonical_sort_uniq(aligned_rows)
+        guard_nonempty("align", len(aligned),
+                       manifest_of(seeds_path)["rows"])
+        _eprn(f"[align]  {time.time() - t0:8.1f}s drain  "
+              f"{n_regions} regions  {len(aligned)} alignments "
+              f"(overlapped)", quiet)
+        with open(aligned_path, "w") as f:
+            f.write("\n".join(aligned) + ("\n" if aligned else ""))
+        write_ok(_ok("aligned"), aligned_path)
+        final_rows = canonical_sort_uniq(final_rows)
+        guard_nonempty("stats", len(final_rows), len(aligned))
+        with open(final_path, "w") as f:
+            f.write(reporter.HEADER + "\n")
+            f.write("\n".join(final_rows)
+                    + ("\n" if final_rows else ""))
+        write_ok(_ok("final"), final_path)
+        _eprn(f"[stats]  {len(final_rows)} final SDs (overlapped)",
+              quiet)
+        paths = {"seeds": seeds_path, "aligned": aligned_path,
+                 "final": final_path}
+        return _wgac_report(paths, fr, out_dir, wgac, quiet)
+
     if _done("aligned", aligned_path):
         aligned = open(aligned_path).read().splitlines()
         guard_nonempty("align (resumed)", len(aligned),
@@ -806,7 +955,6 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
             f.write("\n".join(aligned) + ("\n" if aligned else ""))
         write_ok(_ok("aligned"), aligned_path)
 
-    final_path = os.path.join(out_dir, "final.bed")
     if _done("final", final_path):
         guard_nonempty("stats (resumed)",
                        max(manifest_of(final_path)["rows"] - 1, 0),
@@ -825,10 +973,18 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
         write_ok(_ok("final"), final_path)
     paths = {"seeds": seeds_path, "aligned": aligned_path,
              "final": final_path}
+    return _wgac_report(paths, fr, out_dir, wgac, quiet)
+
+
+def _wgac_report(paths: dict, fr: FastaReference, out_dir: str,
+                 wgac: str | None, quiet: bool) -> dict:
+    """Optional post-final WGAC accounting (sedef.sh -w,
+    sedef.sh:246-257): per-SD overlap classes + per-base coverage
+    diff written to wgac.report."""
     if wgac:
         from .evaluate import check_overlap, diff
         t0 = time.time()
-        final_lines = open(final_path).read().splitlines()
+        final_lines = open(paths["final"]).read().splitlines()
         wgac_lines = open(wgac).read().splitlines()
         ov = check_overlap(final_lines, wgac_lines)
         dv = diff(fr, final_lines, wgac_lines)
