@@ -879,6 +879,11 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                       // 1024)
         except Exception:  # pragma: no cover
             rss_mb = -1
+        audited = sum(int(r.split("\t")[3]) for r in job_rows)
+        if n_seeds != audited:
+            raise RuntimeError(
+                f"seeds.bed holds {n_seeds} rows but the job audits "
+                f"reported {audited} — refusing to certify")
         _eprn(f"[search] single-core job time: {sum(job_secs):.1f}s over "
               f"{len(job_secs)} jobs; peak RSS: {rss_mb} MB", quiet)
         _eprn(f"[search] {time.time() - t0:8.1f}s  {n_seeds} seeds  "

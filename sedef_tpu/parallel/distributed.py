@@ -348,6 +348,16 @@ def run_pipeline_distributed(fasta_path: str, out_dir: str,
                         n_seeds += 1
         os.replace(tmp, seeds_path)
         os.unlink(spool_path)
+        # collective row-count crosscheck: the gathered file must hold
+        # exactly the seeds the per-job audits reported — catches any
+        # logic bug between the audited jobs and the written artifact
+        # (transport corruption is already CRC-fatal in gather_lines)
+        local_n = sum(int(r.split("\t")[3]) for r in job_rows)
+        expect = sum(int(v) for v in gather_lines([str(local_n)]))
+        if n_seeds != expect:
+            raise RuntimeError(
+                f"seeds.bed holds {n_seeds} rows but the job audits "
+                f"reported {expect} — refusing to certify")
         _mark_ok("seeds", seeds_path)
         _eprn(f"[search:d{pid}] {time.time() - t0:8.1f}s  "
               f"{n_seeds} seeds ({len(my_ids)}/{len(todo)} jobs local)",

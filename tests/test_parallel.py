@@ -303,6 +303,10 @@ def test_distributed_kill_and_resume(tmp_path):
     assert (outd / "seeds.bed").exists() and (outd / "seeds.ok").exists()
     assert not (outd / "final.bed").exists()
     seeds_before = open(outd / "seeds.bed").read()
+    # the planted pair MUST seed: an empty stage 1 here would cascade
+    # into a "legitimately empty" final.bed downstream — fail loudly at
+    # the stage that actually broke (r4 incident forensics)
+    assert seeds_before.strip(), "stage 1 produced no seeds"
     run_phase(None)             # resume: must skip stage 1
     assert open(outd / "seeds.bed").read() == seeds_before
 
