@@ -721,6 +721,14 @@ class OverlappedTail:
         self.ex.shutdown()
         return aligned_all, final_all, self.n_regions
 
+    def abort(self) -> None:
+        """Cancel queued region tasks (stage-1 failure path): without
+        this the executor would keep aligning the whole backlog after
+        the pipeline already raised."""
+        for f in self.futs:
+            f.cancel()
+        self.ex.shutdown(wait=False)
+
 
 _V_RE = re.compile(r"(\d+)")
 
@@ -862,9 +870,14 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                     tail.add_job(i, j, is_rc, job)
                 job_idx[0] += 1
 
-            n_seeds = search_stage(
-                fr, bins, cfg, use_device=use_device, jobs=jobs,
-                progress=_audit, sink=_sink)
+            try:
+                n_seeds = search_stage(
+                    fr, bins, cfg, use_device=use_device, jobs=jobs,
+                    progress=_audit, sink=_sink)
+            except BaseException:
+                if tail is not None:
+                    tail.abort()
+                raise
         if not quiet:
             print("", file=sys.stderr)
         with open(os.path.join(out_dir, "seeds.joblog"), "w") as f:
