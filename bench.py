@@ -342,6 +342,25 @@ def main() -> None:
                 if pipe.get("wall_s"):
                     extra["e2e_3gbp_s"] = pipe["wall_s"]
                     extra["e2e_3gbp_spec"] = rep.get("spec", "")
+            # hg19-DENSITY rehearsal (r5): per-stage walls at >=0.7
+            # seeds/Kbp (tools/hg19_dense_rehearsal.py, offline)
+            dj = (pathlib.Path(__file__).parent / "docs"
+                  / "HG19_DENSE.json")
+            if dj.exists():
+                rep = json.loads(dj.read_text())
+                if rep.get("wall_s"):
+                    extra["e2e_3gbp_dense_s"] = rep["wall_s"]
+                    extra["e2e_3gbp_dense_spec"] = rep.get("spec", "")
+                    extra["e2e_3gbp_dense_stage_s"] = rep.get(
+                        "stage_s", {})
+                    extra["e2e_3gbp_dense_seeds_per_kbp"] = rep.get(
+                        "seeds_per_kbp")
+            pj = (pathlib.Path(__file__).parent / "docs"
+                  / "HG19_DENSE_PARITY.json")
+            if pj.exists():
+                rep = json.loads(pj.read_text())
+                extra["dense_parity_identical"] = rep.get(
+                    "identical_all")
         except Exception:  # pragma: no cover
             pass
         try:
