@@ -131,10 +131,21 @@ def cmd_translate(args) -> int:
 
 def cmd_pipeline(args) -> int:
     cfg = _cfg_from_args(args)
-    paths = pl.run_pipeline(args.fasta, args.output, cfg,
-                            nbuckets=args.bins, jobs=args.jobs,
-                            quiet=False, force=args.force,
-                            wgac=getattr(args, "wgac", None))
+    if args.num_processes:
+        # pod-slice mode: run this process's share of every stage under
+        # jax.distributed (launch the same command on every host with
+        # its --process-id; sedef.sh's analog is hand-partitioned GNU
+        # Parallel job lists per machine).  init_distributed already ran
+        # in main() — it must precede any backend-touching call.
+        from .parallel.distributed import run_pipeline_distributed
+        paths = run_pipeline_distributed(
+            args.fasta, args.output, cfg, nbuckets=args.bins,
+            jobs=args.jobs, quiet=False, force=args.force)
+    else:
+        paths = pl.run_pipeline(args.fasta, args.output, cfg,
+                                nbuckets=args.bins, jobs=args.jobs,
+                                quiet=False, force=args.force,
+                                wgac=getattr(args, "wgac", None))
     print(f"Final SDs available in {paths['final']}", file=sys.stderr)
     if "wgac" in paths:
         print(open(paths["wgac"]).read(), end="", file=sys.stderr)
@@ -227,9 +238,21 @@ def main(argv=None) -> int:
     pi.add_argument("-W", "--wgac",
                     help="WGAC tab file: run overlap + diff after final.bed"
                          " (sedef.sh -w)")
+    pi.add_argument("--coordinator", default=None,
+                    help="pod-slice mode: coordinator host:port "
+                         "(jax.distributed)")
+    pi.add_argument("--num-processes", type=int, default=0,
+                    help="pod-slice mode: total process count")
+    pi.add_argument("--process-id", type=int, default=None,
+                    help="pod-slice mode: this process's index")
     pi.set_defaults(fn=cmd_pipeline)
 
     args = p.parse_args(argv)
+    if getattr(args, "num_processes", 0):
+        # must precede the banner's jax.devices() / any backend init
+        from .parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
     from .debug import enable_compilation_cache
     enable_compilation_cache()
     _banner()

@@ -318,3 +318,63 @@ def test_distributed_kill_and_resume(tmp_path):
             == open(single["final"]).read())
     assert (open(outd / "seeds.bed").read()
             == open(single["seeds"]).read())
+
+
+def test_cli_distributed_two_processes(tmp_path):
+    """The CLI pod-slice flags (--coordinator/--num-processes/
+    --process-id) drive run_pipeline_distributed; final.bed must match
+    the single-process CLI run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(31)
+    bg = rng.choice(np.array(list("acgt")), 24000)
+    seg = "".join(rng.choice(np.array(list("ACGT")), 1500))
+    chrom = ("".join(bg[:4000]) + seg + "".join(bg[4000:12000]) + seg
+             + "".join(bg[12000:]))
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chrC\n")
+        for i in range(0, len(chrom), 70):
+            f.write(chrom[i:i + 70] + "\n")
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": pathlib_repo_root()}
+
+    def fresh_port():
+        sock = socket.socket()
+        sock.bind(("localhost", 0))
+        port = str(sock.getsockname()[1])
+        sock.close()
+        return port
+
+    for attempt in range(3):
+        port = fresh_port()
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "sedef_tpu.cli", "pipeline", str(fa),
+             "-o", str(tmp_path / "outd"), "-n", "2",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+            for i in range(2)]
+        outs = [p.communicate(timeout=600)[0].decode()[-2000:]
+                for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        import shutil
+        shutil.rmtree(tmp_path / "outd", ignore_errors=True)
+    else:
+        raise AssertionError("CLI 2-process run failed 3x:\n"
+                             + "\n---\n".join(outs))
+
+    single = subprocess.run(
+        [sys.executable, "-m", "sedef_tpu.cli", "pipeline", str(fa),
+         "-o", str(tmp_path / "outs"), "-n", "2"],
+        capture_output=True, env=env)
+    assert single.returncode == 0, single.stderr[-1500:]
+    assert (open(tmp_path / "outd" / "final.bed").read()
+            == open(tmp_path / "outs" / "final.bed").read())
+    assert len(open(tmp_path / "outd" / "final.bed").read()
+               .splitlines()) >= 2
