@@ -7,6 +7,9 @@ and final.bed must be byte-identical.  Result lands in
 docs/HG19_DENSE_PARITY.json.
 
 Usage: python tools/dense_parity.py [--mbp=100] [--jobs=2]
+       python tools/dense_parity.py --fasta=/tmp/hg19dense/genome.fa \
+           --chroms=chrS23,chrS24   # literal super-bin pair of the
+                                    # 3 Gbp rehearsal genome
 """
 
 import json
@@ -41,17 +44,37 @@ def main():
     from sedef_tpu.models.genome_sim import simulate_genome, write_fasta
     from sedef_tpu.models.pipeline import run_pipeline
 
-    length = mbp * 1_000_000
-    fams = round(FAMS_PER_50M * length / 50_000_000)
-    t0 = time.time()
-    chroms, _ = simulate_genome(
-        length, length // 120_000, sd_min=1300, sd_max=20_000,
-        max_divergence=0.12, rc_fraction=0.3, n_chroms=2,
-        seed=1905, n_run_every=997_000,
-        repeat_families=fams, repeat_copies=COPIES,
-        repeat_len=(500, 2500), repeat_div=(0.08, 0.40))
+    src_fa = None
+    pick = None
+    for a in sys.argv[1:]:
+        if a.startswith("--fasta="):
+            src_fa = a.split("=", 1)[1]
+        if a.startswith("--chroms="):
+            pick = a.split("=", 1)[1].split(",")
+
     work = tempfile.mkdtemp(prefix="denseparity_")
     fa = f"{work}/genome.fa"
+    t0 = time.time()
+    if src_fa:
+        # literal sampled super-bin pair: extract the named chromosomes
+        # from an existing rehearsal genome
+        from sedef_tpu.io.fasta import FastaReference
+        src = FastaReference(src_fa)
+        chroms = {n: src.get_sequence(n) for n in pick}
+        spec_src = f"sample({','.join(pick)} of {src_fa})"
+        mbp = sum(len(s) for s in chroms.values()) // 1_000_000
+        fams = "literal"
+    else:
+        length = mbp * 1_000_000
+        fams = round(FAMS_PER_50M * length / 50_000_000)
+        chroms, _ = simulate_genome(
+            length, length // 120_000, sd_min=1300, sd_max=20_000,
+            max_divergence=0.12, rc_fraction=0.3, n_chroms=2,
+            seed=1905, n_run_every=997_000,
+            repeat_families=fams, repeat_copies=COPIES,
+            repeat_len=(500, 2500), repeat_div=(0.08, 0.40))
+        spec_src = f"sim({mbp}Mbp,2chr,dense:fams{fams}x{COPIES}," \
+                   f"seed1905)"
     write_fasta(fa, chroms)
     write_fai(fa)
     print(f"genome {mbp} Mbp dense (fams={fams} x {COPIES}): "
@@ -70,8 +93,7 @@ def main():
     t_ours = time.time() - t0
     print(f"ours e2e: {t_ours:.0f}s", flush=True)
 
-    report = {"spec": f"sim({mbp}Mbp,2chr,dense:fams{fams}x{COPIES},"
-                      f"seed1905)", "jobs": jobs,
+    report = {"spec": spec_src, "jobs": jobs,
               "ref_e2e_s": round(t_ref, 1),
               "ours_e2e_s": round(t_ours, 1)}
     ok = True
@@ -95,7 +117,9 @@ def main():
                 print("  OURS:", ln[:160], flush=True)
     report["identical_all"] = ok
     DOCS.mkdir(exist_ok=True)
-    with open(DOCS / "HG19_DENSE_PARITY.json", "w") as f:
+    out_name = ("HG19_DENSE_PARITY_LITERAL.json" if src_fa
+                else "HG19_DENSE_PARITY.json")
+    with open(DOCS / out_name, "w") as f:
         json.dump(report, f, indent=1)
     print("RESULT:", "IDENTICAL" if ok else f"DIVERGED ({work})",
           flush=True)
