@@ -98,6 +98,13 @@ if _lib is not None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, _u8, _i32,
         ctypes.c_int64]
 
+    if hasattr(_lib, "sedef_align_batch"):
+        _lib.sedef_align_batch.restype = ctypes.c_int64
+        _lib.sedef_align_batch.argtypes = [
+            _u8, _i64, _u8, _i64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, _u8, _i32, _i64,
+            ctypes.c_int64]
+
     if hasattr(_lib, "sedef_anchors"):
         _lib.sedef_anchors.restype = ctypes.c_int64
         _lib.sedef_anchors.argtypes = [
@@ -361,6 +368,41 @@ def align(q: np.ndarray, t: np.ndarray, match: int, mis: int, gapo: int,
         match, mis, gapo, gape, ops, lens, cap)
     assert n >= 0
     return [(chr(ops[i]), int(lens[i])) for i in range(n)]
+
+
+def align_batch(pairs: list, match: int, mis: int, gapo: int,
+                gape: int) -> list[list[tuple[str, int]]]:
+    """Batched scalar wavefront DP: one native round trip for many
+    small (q, t) uint8 code pairs (the dense-SD gap-DP regime).  Empty
+    sides must be filtered by the caller."""
+    n = len(pairs)
+    qoff = np.zeros(n + 1, dtype=np.int64)
+    toff = np.zeros(n + 1, dtype=np.int64)
+    for i, (q, t) in enumerate(pairs):
+        qoff[i + 1] = qoff[i] + len(q)
+        toff[i + 1] = toff[i] + len(t)
+    qbuf = np.empty(int(qoff[-1]), dtype=np.uint8)
+    tbuf = np.empty(int(toff[-1]), dtype=np.uint8)
+    for i, (q, t) in enumerate(pairs):
+        qbuf[qoff[i]:qoff[i + 1]] = q
+        tbuf[toff[i]:toff[i + 1]] = t
+    cap = int(qoff[-1] + toff[-1]) + 2 * n + 16
+    ops = np.empty(cap, dtype=np.uint8)
+    lens = np.empty(cap, dtype=np.int32)
+    cnt = np.zeros(n, dtype=np.int64)
+    r = _lib.sedef_align_batch(qbuf, qoff, tbuf, toff, n, match, mis,
+                               gapo, gape, ops, lens, cnt, cap)
+    assert r >= 0, r
+    out: list[list[tuple[str, int]]] = []
+    pos = 0
+    opsl = ops.tolist()
+    lensl = lens.tolist()
+    for i in range(n):
+        c = int(cnt[i])
+        out.append([(chr(opsl[j]), lensl[j])
+                    for j in range(pos, pos + c)])
+        pos += c
+    return out
 
 
 def backtrack(p: np.ndarray, qlen: int, tlen: int) -> list[tuple[str, int]]:

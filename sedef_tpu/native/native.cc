@@ -1567,35 +1567,72 @@ int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
   if (rv.empty()) return 0;
   std::sort(rv.begin(), rv.end());
 
-  // O(1) posting lookup: epoch-stamped direct-address table over the
-  // 2^(2k) hash space (k=11 -> 4M entries; the reference's
-  // unordered_map lookup is what made its per-core anchor scan beat the
-  // binary-searched sorted vector).  thread_local + epoch stamp: no
-  // per-call clearing.
+  // O(1) posting lookup.  Two regimes:
+  //
+  // * BIG ref (chromosome-scale, the stage-2a anchor scan of whole
+  //   merge regions): epoch-stamped direct-address table over the
+  //   2^(2k) hash space (k=11 -> 4M entries; the reference's
+  //   unordered_map lookup is what made its per-core anchor scan beat
+  //   the binary-searched sorted vector).  thread_local + epoch stamp:
+  //   no per-call clearing.
+  //
+  // * SMALL ref (the dense-SD regime: ~15 Kbp align regions): the 16 MB
+  //   direct table is cache-hostile — every query probe is a DRAM miss,
+  //   ~150 ns x nq ~= 2.2 ms/region, 10x the real scan work (measured
+  //   r5, hg19-density rehearsal).  A power-of-2 open-addressing table
+  //   sized ~2x the distinct-kmer count stays L2-resident.
+  if (2 * k > 24) return -2;  // direct table infeasible; caller must
+                              // keep k <= 12 on the native path
+  const size_t tbl_n = (size_t)1 << (2 * k);
+  const bool small_mode = rv.size() < (1u << 17);
   static thread_local std::vector<uint32_t> tbl_ep;
   static thread_local std::vector<int32_t> tbl_lo, tbl_cnt;
   static thread_local uint32_t tbl_epoch = 0;
-  const size_t tbl_n = (size_t)1 << (2 * k);
-  if (2 * k > 24) return -2;  // direct table infeasible; caller must
-                              // keep k <= 12 on the native path
-  if (tbl_ep.size() < tbl_n) {
-    tbl_ep.assign(tbl_n, 0);
-    tbl_lo.resize(tbl_n);
-    tbl_cnt.resize(tbl_n);
-    tbl_epoch = 0;
-  }
-  if (++tbl_epoch == 0) {  // uint32 wrap: restamp
-    std::fill(tbl_ep.begin(), tbl_ep.end(), 0u);
-    tbl_epoch = 1;
-  }
-  for (size_t i = 0; i < rv.size();) {
-    uint32_t hh = (uint32_t)(rv[i] >> 32);
-    size_t j = i;
-    while (j < rv.size() && (uint32_t)(rv[j] >> 32) == hh) j++;
-    tbl_ep[hh] = tbl_epoch;
-    tbl_lo[hh] = (int32_t)i;
-    tbl_cnt[hh] = (int32_t)(j - i);
-    i = j;
+  // small-mode open addressing: key (kmer hash +1, 0 = empty) -> run
+  static thread_local std::vector<uint32_t> oa_key;
+  static thread_local std::vector<int32_t> oa_lo, oa_cnt;
+  size_t oa_mask = 0;
+  if (small_mode) {
+    size_t want = 64;
+    while (want < 2 * rv.size()) want <<= 1;
+    oa_mask = want - 1;
+    if (oa_key.size() < want) {
+      oa_key.resize(want);
+      oa_lo.resize(want);
+      oa_cnt.resize(want);
+    }
+    std::fill(oa_key.begin(), oa_key.begin() + want, 0u);
+    for (size_t i = 0; i < rv.size();) {
+      uint32_t hh = (uint32_t)(rv[i] >> 32);
+      size_t j = i;
+      while (j < rv.size() && (uint32_t)(rv[j] >> 32) == hh) j++;
+      size_t slot = (size_t)(hh * 2654435761u) & oa_mask;
+      while (oa_key[slot] != 0) slot = (slot + 1) & oa_mask;
+      oa_key[slot] = hh + 1;
+      oa_lo[slot] = (int32_t)i;
+      oa_cnt[slot] = (int32_t)(j - i);
+      i = j;
+    }
+  } else {
+    if (tbl_ep.size() < tbl_n) {
+      tbl_ep.assign(tbl_n, 0);
+      tbl_lo.resize(tbl_n);
+      tbl_cnt.resize(tbl_n);
+      tbl_epoch = 0;
+    }
+    if (++tbl_epoch == 0) {  // uint32 wrap: restamp
+      std::fill(tbl_ep.begin(), tbl_ep.end(), 0u);
+      tbl_epoch = 1;
+    }
+    for (size_t i = 0; i < rv.size();) {
+      uint32_t hh = (uint32_t)(rv[i] >> 32);
+      size_t j = i;
+      while (j < rv.size() && (uint32_t)(rv[j] >> 32) == hh) j++;
+      tbl_ep[hh] = tbl_epoch;
+      tbl_lo[hh] = (int32_t)i;
+      tbl_cnt[hh] = (int32_t)(j - i);
+      i = j;
+    }
   }
 
   // per-diagonal slide as an epoch-stamped flat array (diag in
@@ -1623,10 +1660,21 @@ int64_t sedef_anchors(const uint8_t *q, int64_t qlen, const uint8_t *r,
     h = (uint32_t)(((h << 2) | (uint32_t)code_of(q[i])) & mask);
     int64_t qp = i - k + 1;
     if (qp < 0 || last_n >= qp) continue;
-    if (tbl_ep[h] != tbl_epoch) continue;
-    int64_t sz = tbl_cnt[h];
+    int64_t sz, lo_idx;
+    if (small_mode) {
+      size_t slot = (size_t)(h * 2654435761u) & oa_mask;
+      while (oa_key[slot] != 0 && oa_key[slot] != h + 1)
+        slot = (slot + 1) & oa_mask;
+      if (oa_key[slot] == 0) continue;
+      sz = oa_cnt[slot];
+      lo_idx = oa_lo[slot];
+    } else {
+      if (tbl_ep[h] != tbl_epoch) continue;
+      sz = tbl_cnt[h];
+      lo_idx = tbl_lo[h];
+    }
     if (sz >= max_posting) continue;  // chain.cc:61
-    const uint64_t *lo = rv.data() + tbl_lo[h];
+    const uint64_t *lo = rv.data() + lo_idx;
     const uint64_t *hi = lo + sz;
     for (auto it = lo; it != hi; ++it) {
       int64_t rp = (int64_t)(*it & 0xffffffffull);
@@ -1777,6 +1825,34 @@ int64_t sedef_chain(const int32_t *aq, const int32_t *ar, const int32_t *al,
     nb++;
   }
   return nb;
+}
+
+// Batched scalar wavefront DP: nprob problems in concatenated buffers
+// (offsets arrays of length nprob+1), run lists concatenated into
+// ops_out/lens_out with per-problem counts in cnt_out.  One ctypes
+// round trip instead of one per gap DP — the dense-SD regime issues
+// ~20 sub-2 Kbp gap DPs per region and the per-call marshaling was
+// ~25% of the align stage (measured r5).  Returns total runs or
+// -(p+1) if problem p overflowed out_cap (caller regrows).
+int64_t sedef_align_batch(const uint8_t *qbuf, const int64_t *qoff,
+                          const uint8_t *tbuf, const int64_t *toff,
+                          int64_t nprob, int match, int mis, int gapo,
+                          int gape, uint8_t *ops_out, int32_t *lens_out,
+                          int64_t *cnt_out, int64_t out_cap) {
+  int64_t pos = 0;
+  for (int64_t p = 0; p < nprob; p++) {
+    int32_t ql = (int32_t)(qoff[p + 1] - qoff[p]);
+    int32_t tl = (int32_t)(toff[p + 1] - toff[p]);
+    int64_t room = out_cap - pos;
+    if (room < (int64_t)ql + tl + 2) return -(p + 1);
+    int64_t n = sedef_align(qbuf + qoff[p], ql, tbuf + toff[p], tl,
+                            match, mis, gapo, gape, ops_out + pos,
+                            lens_out + pos, room);
+    if (n < 0) return -(p + 1);
+    cnt_out[p] = n;
+    pos += n;
+  }
+  return pos;
 }
 
 }  // extern "C"

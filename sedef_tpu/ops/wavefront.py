@@ -1821,11 +1821,23 @@ class WavefrontAligner:
                 if bulk_cells >= self.DEVICE_BATCH_MIN_CELLS:
                     device_idx += native_idx
                     native_idx = []
-            for idx in native_idx:
-                qc, tc = pairs[idx]
-                results[idx] = native.align(
-                    qc.astype(np.uint8), tc.astype(np.uint8),
-                    self.match, self.mis, self.gapo, self.gape)
+            if native_idx and native.has("align_batch"):
+                # one ctypes round trip for the whole small-DP set (the
+                # dense regime issues ~20 sub-2 Kbp gap DPs per region;
+                # per-call marshaling was ~25% of the align stage)
+                sub = [(pairs[i][0].astype(np.uint8),
+                        pairs[i][1].astype(np.uint8))
+                       for i in native_idx]
+                for i, cig in zip(native_idx, native.align_batch(
+                        sub, self.match, self.mis, self.gapo,
+                        self.gape)):
+                    results[i] = cig
+            else:
+                for idx in native_idx:
+                    qc, tc = pairs[idx]
+                    results[idx] = native.align(
+                        qc.astype(np.uint8), tc.astype(np.uint8),
+                        self.match, self.mis, self.gapo, self.gape)
             if device_idx:
                 sub = [pairs[i] for i in device_idx]
                 for i, cig in zip(device_idx, self._align_batch_device(sub)):
@@ -2134,6 +2146,13 @@ class CoalescingAligner:
         import time as _time
         if not pairs:
             return []
+        if not getattr(self.base, "use_tpu", False):
+            # host-only base: nothing to amortize — the window sleep
+            # would serialize threads behind a 4 ms pause per round for
+            # zero benefit (measured: ~3x align-stage inflation on the
+            # dense-region regime).  The native per-problem path is
+            # thread-safe (thread_local buffers), so dispatch directly.
+            return self.base.align_batch(pairs)
         req = [pairs, None]
         with self._cv:
             self._pending.append(req)
