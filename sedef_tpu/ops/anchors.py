@@ -65,8 +65,9 @@ def generate_anchors(query: str, ref: str, same_chr: bool,
         rows = _native.anchors(query.encode(), ref.encode(), same_chr,
                                orig_query_start, orig_ref_start,
                                kmer_size, max_posting)
-        return [Anchor(int(q), int(r), int(l), int(u))
-                for q, r, l, u in rows]
+        # tolist() yields plain ints in one C pass — per-element numpy
+        # casts cost ~3 us/row, ~10x the native scan per anchor
+        return [Anchor(q, r, l, u) for q, r, l, u in rows.tolist()]
     qh, qv = _kmer_hashes(query, kmer_size)
     rh, rv = _kmer_hashes(ref, kmer_size)
     if qh.size == 0 or rh.size == 0:
