@@ -98,6 +98,12 @@ if _lib is not None:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, _u8, _i32,
         ctypes.c_int64]
 
+    if hasattr(_lib, "sedef_populate"):
+        _lib.sedef_populate.restype = ctypes.c_int64
+        _lib.sedef_populate.argtypes = [
+            _u8, _u8, _u8, _i32, ctypes.c_int64, _u8, _u8, _u8,
+            ctypes.c_int64, _i64]
+
     if hasattr(_lib, "sedef_align_batch"):
         _lib.sedef_align_batch.restype = ctypes.c_int64
         _lib.sedef_align_batch.argtypes = [
@@ -368,6 +374,24 @@ def align(q: np.ndarray, t: np.ndarray, match: int, mis: int, gapo: int,
         match, mis, gapo, gape, ops, lens, cap)
     assert n >= 0
     return [(chr(ops[i]), int(lens[i])) for i in range(n)]
+
+
+def populate(a: bytes, b: bytes, ops: np.ndarray, lens: np.ndarray
+             ) -> tuple[bytes, bytes, bytes, int, int]:
+    """Gapped strings + midline + (matches, mismatches) in one native
+    pass (align.cc:274-315 semantics; see ops/cigar.py populate)."""
+    total = int(lens.sum())
+    ga = np.empty(total, dtype=np.uint8)
+    gb = np.empty(total, dtype=np.uint8)
+    mid = np.empty(total, dtype=np.uint8)
+    counts = np.zeros(2, dtype=np.int64)
+    n = _lib.sedef_populate(
+        np.frombuffer(a, dtype=np.uint8),
+        np.frombuffer(b, dtype=np.uint8), ops, lens, len(ops),
+        ga, gb, mid, total, counts)
+    assert n == total, (n, total)
+    return (ga.tobytes(), gb.tobytes(), mid.tobytes(),
+            int(counts[0]), int(counts[1]))
 
 
 def align_batch(pairs: list, match: int, mis: int, gapo: int,

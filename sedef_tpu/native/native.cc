@@ -1851,6 +1851,60 @@ int64_t sedef_chain(const int32_t *aq, const int32_t *ar, const int32_t *al,
   return nb;
 }
 
+// Gapped-alignment materialization (align.cc:274-315 semantics): build
+// the gapped strings + '|'/'*' midline + match/mismatch tallies from
+// (a, b, cigar) in one pass.  The Python populate() was ~4.7 calls and
+// ~0.4 ms per dense region of numpy slicing + string encode/decode
+// (measured r5).  eq is case-insensitive and never true for '-'/'N'.
+int64_t sedef_populate(const uint8_t *a, const uint8_t *b,
+                       const uint8_t *ops, const int32_t *lens,
+                       int64_t nops, uint8_t *ga, uint8_t *gb,
+                       uint8_t *mid, int64_t total, int64_t *counts) {
+  auto up = [](uint8_t c) -> uint8_t {
+    return (c >= 'a' && c <= 'z') ? (uint8_t)(c - 32) : c;
+  };
+  int64_t ia = 0, ib = 0, pos = 0;
+  int64_t matches = 0, mismatches = 0;
+  for (int64_t o = 0; o < nops; o++) {
+    uint8_t op = ops[o];
+    int64_t ln = lens[o];
+    if (pos + ln > total) return -1;
+    if (op == 'M') {
+      for (int64_t i = 0; i < ln; i++) {
+        uint8_t ca = a[ia + i], cb = b[ib + i];
+        ga[pos + i] = ca;
+        gb[pos + i] = cb;
+        uint8_t ua = up(ca), ub = up(cb);
+        bool both = ca != '-' && cb != '-';
+        bool eq = both && ua != 'N' && ub != 'N' && ua == ub;
+        mid[pos + i] = eq ? '|' : '*';
+        matches += eq;
+        mismatches += both && !eq;
+      }
+      ia += ln;
+      ib += ln;
+    } else if (op == 'D') {
+      for (int64_t i = 0; i < ln; i++) {
+        ga[pos + i] = a[ia + i];
+        gb[pos + i] = '-';
+        mid[pos + i] = '*';
+      }
+      ia += ln;
+    } else {  // 'I'
+      for (int64_t i = 0; i < ln; i++) {
+        ga[pos + i] = '-';
+        gb[pos + i] = b[ib + i];
+        mid[pos + i] = '*';
+      }
+      ib += ln;
+    }
+    pos += ln;
+  }
+  counts[0] = matches;
+  counts[1] = mismatches;
+  return pos;
+}
+
 // Batched scalar wavefront DP: nprob problems in concatenated buffers
 // (offsets arrays of length nprob+1), run lists concatenated into
 // ops_out/lens_out with per-problem counts in cnt_out.  One ctypes

@@ -69,3 +69,59 @@ def test_backtrack_parity():
         t = rng.integers(0, 4, tl).astype(np.int8)
         p, _ = wavefront_np(q, t)
         assert backtrack_np(p, ql, tl) == lib.backtrack(p, ql, tl)
+
+
+def test_native_populate_matches_numpy():
+    """sedef_populate == the numpy populate path (gapped strings,
+    midline, match/mismatch tallies) on randomized cigars incl. N and
+    case mixtures."""
+    import numpy as np
+
+    from sedef_tpu.native import lib as native
+    from sedef_tpu.ops.cigar import Alignment
+
+    if native is None or not native.has("populate"):
+        import pytest
+        pytest.skip("native populate not built")
+    rng = np.random.default_rng(13)
+    alpha = list("ACGTacgtNn")
+    for trial in range(50):
+        cigar = []
+        na = nb = 0
+        for _ in range(int(rng.integers(1, 12))):
+            op = "MID"[int(rng.integers(0, 3))]
+            ln = int(rng.integers(1, 40))
+            cigar.append((op, ln))
+            if op in "MD":
+                na += ln
+            if op in "MI":
+                nb += ln
+        if not any(op == "M" for op, _ in cigar):
+            cigar.append(("M", 5))
+            na += 5
+            nb += 5
+        a = "".join(rng.choice(alpha, na))
+        b = "".join(rng.choice(alpha, nb))
+
+        al_native = Alignment()
+        al_native.a, al_native.b, al_native.cigar = a, b, list(cigar)
+        al_native.populate()
+
+        al_np = Alignment()
+        al_np.a, al_np.b, al_np.cigar = a, b, list(cigar)
+        import sedef_tpu.native.lib as nl
+        real_has = nl.has
+        try:
+            nl.has = lambda name: (False if name == "populate"
+                                   else real_has(name))
+            al_np.populate()
+        finally:
+            nl.has = real_has
+
+        assert al_native.align_a == al_np.align_a
+        assert al_native.align_b == al_np.align_b
+        assert al_native.alignment == al_np.alignment
+        assert al_native._matches == al_np._matches
+        assert al_native._mismatches == al_np._mismatches
+        assert al_native._gaps == al_np._gaps
+        assert al_native._gap_bases == al_np._gap_bases
