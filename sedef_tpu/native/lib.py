@@ -402,14 +402,12 @@ def align_batch(pairs: list, match: int, mis: int, gapo: int,
     n = len(pairs)
     qoff = np.zeros(n + 1, dtype=np.int64)
     toff = np.zeros(n + 1, dtype=np.int64)
-    for i, (q, t) in enumerate(pairs):
-        qoff[i + 1] = qoff[i] + len(q)
-        toff[i + 1] = toff[i] + len(t)
-    qbuf = np.empty(int(qoff[-1]), dtype=np.uint8)
-    tbuf = np.empty(int(toff[-1]), dtype=np.uint8)
-    for i, (q, t) in enumerate(pairs):
-        qbuf[qoff[i]:qoff[i + 1]] = q
-        tbuf[toff[i]:toff[i + 1]] = t
+    np.cumsum([len(q) for q, _ in pairs], out=qoff[1:])
+    np.cumsum([len(t) for _, t in pairs], out=toff[1:])
+    qbuf = np.concatenate([np.asarray(q, dtype=np.uint8)
+                           for q, _ in pairs])
+    tbuf = np.concatenate([np.asarray(t, dtype=np.uint8)
+                           for _, t in pairs])
     cap = int(qoff[-1] + toff[-1]) + 2 * n + 16
     ops = np.empty(cap, dtype=np.uint8)
     lens = np.empty(cap, dtype=np.int32)
@@ -470,7 +468,7 @@ def chain(aq, ar, al, ahu, max_chain_gap: int, match_chain_score: int):
         np.ascontiguousarray(ahu, np.int32), n,
         max_chain_gap, match_chain_score, path, bounds, bcap)
     assert nb >= 0
-    boundaries = [(int(bounds[2 * i]), int(bounds[2 * i + 1]))
-                  for i in range(nb)]
+    bl = bounds[:2 * nb].tolist()  # one C pass, not per-element casts
+    boundaries = [(bl[2 * i], bl[2 * i + 1]) for i in range(nb)]
     npath = boundaries[-1][0] if boundaries else 0
     return path[:npath], boundaries

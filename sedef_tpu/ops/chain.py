@@ -156,7 +156,8 @@ def chain_anchors(anchors: list[Anchor], cfg: Config = DEFAULT,
                 [a.q for a in anchors], [a.r for a in anchors],
                 [a.l for a in anchors], [a.has_u for a in anchors],
                 cfg.chain.max_chain_gap, cfg.chain.match_chain_score)
-            return list(int(x) for x in path), bounds
+            return (path.tolist() if hasattr(path, "tolist")
+                    else list(path)), bounds
     mcg = cfg.chain.max_chain_gap
     mcs = cfg.chain.match_chain_score
 
