@@ -12,7 +12,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .simulate import LETTERS
 
 _LOW = np.frombuffer(b"acgt", dtype=np.uint8)
 _UP = np.frombuffer(b"ACGT", dtype=np.uint8)
