@@ -825,10 +825,17 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
     # (sedef.sh:163-240); resumes always take the sequential path.
     seeds_done = _done("seeds", seeds_path)
     tail: OverlappedTail | None = None
+    # align-pool sizing: oversubscription (8+) pays only when region
+    # threads BLOCK on device round trips; on a host-only aligner it
+    # thrashes the GIL (measured: 3.31 vs 2.29 ms/region at 8 vs 2
+    # threads on 2 cores, dense regions)
+    device_align = (getattr(aligner, "use_tpu", None)
+                    if aligner is not None else auto_device())
+    align_jobs = max(jobs, 8 if device_align else (os.cpu_count() or 2))
     if (not seeds_done and not os.environ.get("SEDEF_NO_OVERLAP", "")
             and not _done("aligned", aligned_path)):
         tail = OverlappedTail(fr, bins, cfg, aligner,
-                              align_jobs=max(jobs, 8))
+                              align_jobs=align_jobs)
 
     if seeds_done:
         with open(seeds_path) as f:
@@ -960,7 +967,7 @@ def run_pipeline(fasta_path: str, out_dir: str, cfg: Config = DEFAULT,
                       file=sys.stderr, flush=True)
 
         aligned = align_stage(flat, fr, cfg, aligner,
-                              jobs=max(jobs, 8) if len(flat) > 1 else 1,
+                              jobs=align_jobs if len(flat) > 1 else 1,
                               progress=_aprog)
         if not quiet and flat:
             print("", file=sys.stderr)
