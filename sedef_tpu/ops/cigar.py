@@ -46,20 +46,23 @@ def _batch_gap_cigars(qstr: str, rstr: str,
     is a no-op, ma1 always wins); one-sided gaps -> pure indel."""
     jobs: list[tuple[np.ndarray, np.ndarray]] = []
     plan: list[tuple] = []  # (kind, ...) per gap
+    # encode the region once and slice code VIEWS per gap — dozens of
+    # per-substring encodes cost more than two full-region LUT gathers
+    qcodes = encode_align(qstr) if gaps else None
+    rcodes = encode_align(rstr) if gaps else None
     for (qpe, qs, rpe, rs) in gaps:
         qgap, rgap = qs - qpe, rs - rpe
         if qgap and rgap:
             if qgap <= 1000 and rgap <= 1000:
                 plan.append(("dp", len(jobs)))
-                jobs.append((encode_align(qstr[qpe:qs]),
-                             encode_align(rstr[rpe:rs])))
+                jobs.append((qcodes[qpe:qs], rcodes[rpe:rs]))
             else:
                 mi = min(qgap, rgap)
                 ma = max(qgap, rgap)
                 plan.append(("dp_indel", len(jobs),
                              "I" if qgap == mi else "D", ma - mi))
-                jobs.append((encode_align(qstr[qpe:qpe + mi]),
-                             encode_align(rstr[rpe:rpe + mi])))
+                jobs.append((qcodes[qpe:qpe + mi],
+                             rcodes[rpe:rpe + mi]))
         elif qgap:
             plan.append(("D", qgap))
         elif rgap:
