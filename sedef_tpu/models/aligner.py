@@ -7,12 +7,45 @@ through the batched wavefront aligner.
 
 from __future__ import annotations
 
+import os
+
 from ..config import DEFAULT, Config
 from ..io.bed import Hit, SeqRef
 from ..ops.anchors import generate_anchors
 from ..ops.chain import chain_anchors
-from ..ops.cigar import Alignment
+from ..ops.cigar import Alignment, AlnStats
 from ..ops.wavefront import WavefrontAligner
+
+
+def _native_region_gate(query: str, ref: str) -> bool:
+    """Route this region through the native full-region align core?
+
+    The native path wins whenever the region's gap DPs would run on the
+    host anyway (CPU backend, tripped device breaker, or a dispatch
+    latency too high for bulk device batching — DEVICE_BATCH_MIN is the
+    devcal-scaled knob, devcal.py).  With a cheap-dispatch device the
+    Python path stays so CoalescingAligner can bulk-batch gap DPs on the
+    chip; giant regions (>60 Kbp, the chunked / tiled-kernel regime)
+    always keep the Python path.  SEDEF_NATIVE_REGION=0/1 overrides."""
+    env = os.environ.get("SEDEF_NATIVE_REGION")
+    if env is not None:
+        return env != "0"
+    try:
+        from ..native import lib as _native
+    except Exception:  # pragma: no cover
+        return False
+    if _native is None or not _native.has("fast_align"):
+        return False
+    if max(len(query), len(ref)) > 60000:
+        return False
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return True
+    from ..devhealth import tripped
+    if tripped():
+        return True
+    return WavefrontAligner.DEVICE_BATCH_MIN > 16
 
 
 def refine_chains(hits: list[Hit], qseq: str, rseq: str, orig: Hit,
@@ -136,6 +169,20 @@ def fast_align(query: str, ref: str, orig: Hit, kmer_size: int = 11,
     """chain.cc:203-268"""
     same_chr = (orig.query.name == orig.ref.name
                 and orig.query.is_rc == orig.ref.is_rc)
+    if _native_region_gate(query, ref):
+        from ..native import lib as _native
+        rows = _native.fast_align_region(
+            query.encode("ascii"), ref.encode("ascii"), same_chr,
+            orig.query_start, orig.ref_start, kmer_size, cfg)
+        if rows is not None:
+            out: list[Hit] = []
+            for qs, qe, rs, re, m, mm, gb, cigar in rows:
+                h = Hit(SeqRef("QRY", False, len(query)), qs, qe,
+                        SeqRef("REF", False, len(ref)), rs, re)
+                h.aln = AlnStats(cigar, m, mm, gb)
+                out.append(h)
+            return out
+        # native core bailed (giant DP / unexpected state): Python path
     anchors = generate_anchors(query, ref, same_chr, orig.query_start,
                                orig.ref_start, kmer_size)
     path, bounds = chain_anchors(anchors, cfg)

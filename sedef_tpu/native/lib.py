@@ -123,6 +123,17 @@ if _lib is not None:
         _i32, _i32, _i32, _i32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         _i32, _i64, ctypes.c_int64]
 
+    if hasattr(_lib, "sedef_fast_align"):
+        _lib.sedef_fast_align.restype = ctypes.c_int64
+        _lib.sedef_fast_align.argtypes = [
+            _u8, ctypes.c_int64, _u8, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            _i64, ctypes.c_int64, _u8, _i32, ctypes.c_int64]
+
     if hasattr(_lib, "sedef_prof_get"):
         _lib.sedef_prof_get.restype = None
         _lib.sedef_prof_get.argtypes = [_i64]
@@ -453,6 +464,53 @@ def anchors(query: bytes, ref: bytes, same_chr: bool, oqs: int, ors: int,
         if n == -2:
             raise ValueError("sedef_anchors requires k <= 12")
         cap = max(cap * 4, (int(-n) - 1) * 16 + 64)
+
+
+def fast_align_region(query: bytes, ref: bytes, same_chr: bool, oqs: int,
+                      ors: int, k: int, cfg):
+    """Full-region stage-2b path (anchors -> chain -> guided assembly ->
+    refine) in one native call.  Returns a list of
+    (qs, qe, rs, re, matches, mismatches, gap_bases, cigar) tuples in the
+    models/aligner.py fast_align emission order, or None when the native
+    core bailed (caller uses the Python path — behaviour never diverges)."""
+    qa = np.frombuffer(query, dtype=np.uint8)
+    ra = np.frombuffer(ref, dtype=np.uint8)
+    rp = cfg.chain.refine
+    hit_cap = 8 * 64
+    cig_cap = 1 << 14
+    while True:
+        hits = np.empty(hit_cap, dtype=np.int64)
+        ops = np.empty(cig_cap, dtype=np.uint8)
+        lens = np.empty(cig_cap, dtype=np.int32)
+        n = _lib.sedef_fast_align(
+            qa, len(qa), ra, len(ra), int(same_chr), oqs, ors, k,
+            cfg.align.match, cfg.align.mismatch, cfg.align.gap_open,
+            cfg.align.gap_extend, cfg.chain.max_chain_gap,
+            cfg.chain.match_chain_score, cfg.chain.min_uppercase_match,
+            cfg.search.min_read_size, cfg.search.max_error,
+            rp.match, rp.mismatch, rp.gap, rp.gap_open,
+            rp.min_read, rp.side_align, rp.max_gap,
+            hits, hit_cap, ops, lens, cig_cap)
+        if n == -1:
+            return None
+        if n == -2:
+            hit_cap *= 4
+            continue
+        if n == -3:
+            cig_cap *= 4
+            continue
+        out = []
+        pos = 0
+        opsl = ops.tolist()
+        lensl = lens.tolist()
+        hl = hits[:n * 8].tolist()
+        for i in range(n):
+            qs, qe, rs, re, ncig, m, mm, gb = hl[8 * i:8 * i + 8]
+            cigar = [(chr(opsl[j]), lensl[j])
+                     for j in range(pos, pos + ncig)]
+            pos += ncig
+            out.append((qs, qe, rs, re, m, mm, gb, cigar))
+        return out
 
 
 def chain(aq, ar, al, ahu, max_chain_gap: int, match_chain_score: int):

@@ -16,6 +16,7 @@
 // bottleneck.  Build: python -m sedef_tpu.native.build
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -23,6 +24,7 @@
 #include <ctime>
 #include <map>
 #include <set>
+#include <string>
 #include <unordered_map>
 #include <vector>
 
@@ -1931,6 +1933,824 @@ int64_t sedef_align_batch(const uint8_t *qbuf, const int64_t *qoff,
     pos += n;
   }
   return pos;
+}
+
+}  // extern "C"
+
+// ===========================================================================
+// Full-region align path (stage 2b): anchors -> chaining -> guided assembly
+// -> O(n^2) chain refinement, entirely in native code.
+//
+// This is the dense-SD-regime fix (docs/HG19_DENSE.md): per ~10 Kbp region
+// the Python glue around the (already native) anchor scan / chain DP / gap
+// DPs — Alignment assembly, trims, merges, per-region Hit round trips —
+// cost ~2.5 ms of GIL-bound interpreter time, which dominates exactly when
+// regions are small and below the device-dispatch breakeven.  The semantics
+// here are the pinned byte-parity semantics of models/aligner.py and
+// ops/cigar.py (reference: src/chain.cc:203-268, src/refine.cc:23-193,
+// src/align.cc), including the reference quirks those modules document
+// (trim_front's sentinel collision, the '\0' CIGAR sentinel, the ma1-wins
+// gap-join no-op, int()-truncating refine scores).  On any state the Python
+// path would assert on — or a DP too big for the host (the device tiled
+// kernel's regime) — we throw Bail and the caller falls back to the Python
+// path for that region, so behaviour can never diverge.
+// ===========================================================================
+
+namespace region_align {
+
+struct Bail {};  // fall back to the Python path for this region
+
+struct Cig {
+  char op;
+  int64_t len;
+};
+
+struct RCfg {
+  // align scores, signed as in config.py AlignParams (5, -4, -40, -1)
+  int match, mis, gapo, gape;
+  int k;
+  int max_chain_gap, match_chain_score, min_uppercase_match;
+  int min_read_size;
+  double max_error;
+  // refine params (floats in config.py RefineParams; int()-truncated use)
+  double rf_match, rf_mismatch, rf_gap, rf_gapopen;
+  int rf_min_read, rf_side_align, rf_max_gap;
+};
+
+// A gap DP bigger than this is the device tiled kernel's regime -> Bail.
+static const int64_t MAX_DP_CELLS = (int64_t)1 << 28;
+
+// 5-letter DP alphabet (ops/dna.py _ALIGN_LUT): ACGT any case -> 0..3,
+// everything else (incl. N) -> 4 (wildcard, scores 0 in the kernel).
+static inline uint8_t dp_code(uint8_t c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    default: return 4;
+  }
+}
+
+static std::vector<Cig> run_dp(const uint8_t *q, int64_t ql,
+                               const uint8_t *t, int64_t tl,
+                               const RCfg &cfg) {
+  if (ql == 0 && tl == 0) return {};
+  if (ql == 0) return {{'I', tl}};
+  if (tl == 0) return {{'D', ql}};
+  if ((ql + tl) * tl > MAX_DP_CELLS) throw Bail{};
+  std::vector<uint8_t> qc(ql), tc(tl);
+  for (int64_t i = 0; i < ql; i++) qc[i] = dp_code(q[i]);
+  for (int64_t i = 0; i < tl; i++) tc[i] = dp_code(t[i]);
+  int64_t cap = ql + tl + 2;
+  std::vector<uint8_t> ops(cap);
+  std::vector<int32_t> lens(cap);
+  int64_t n = sedef_align(qc.data(), (int32_t)ql, tc.data(), (int32_t)tl,
+                          cfg.match, cfg.mis, -cfg.gapo, -cfg.gape,
+                          ops.data(), lens.data(), cap);
+  if (n < 0) throw Bail{};
+  std::vector<Cig> out((size_t)n);
+  for (int64_t i = 0; i < n; i++) out[i] = {(char)ops[i], (int64_t)lens[i]};
+  return out;
+}
+
+// Inter-block gap policy (align.cc:126-145; ops/cigar.py _batch_gap_cigars
+// and _append_gap_cigar): both-sided small gaps -> full DP; big double
+// gaps -> same-length-prefix DP plus ONE raw-appended indel op (possibly
+// zero-length — the zero survives and shapes later coalescing); one-sided
+// gaps -> pure indel.
+static std::vector<Cig> gap_cigar(const uint8_t *q, const uint8_t *r,
+                                  int64_t qpe, int64_t qs, int64_t rpe,
+                                  int64_t rs, const RCfg &cfg) {
+  int64_t qgap = qs - qpe, rgap = rs - rpe;
+  if (qgap && rgap) {
+    if (qgap <= 1000 && rgap <= 1000)
+      return run_dp(q + qpe, qgap, r + rpe, rgap, cfg);
+    int64_t mi = std::min(qgap, rgap), ma = std::max(qgap, rgap);
+    auto cig = run_dp(q + qpe, mi, r + rpe, mi, cfg);
+    cig.push_back({qgap == mi ? 'I' : 'D', ma - mi});
+    return cig;
+  }
+  if (qgap) return {{'D', qgap}};
+  if (rgap) return {{'I', rgap}};
+  return {};
+}
+
+// Local-coordinate alignment state (ops/cigar.py Alignment semantics).
+struct Aln {
+  std::string a, b;                  // ungapped local substrings
+  int64_t sa = 0, ea = 0, sb = 0, eb = 0;
+  std::vector<Cig> cig;
+  std::string ga, gb, mid;           // gapped strings + '|'/'*' midline
+  int64_t matches = 0, mismatches = 0;
+
+  int64_t span() const { return (int64_t)mid.size(); }
+  int64_t gap_bases() const {
+    int64_t s = 0;
+    for (auto &c : cig)
+      if (c.op != 'M') s += c.len;
+    return s;
+  }
+
+  static inline char up(char c) {
+    return (c >= 'a' && c <= 'z') ? (char)(c - 32) : c;
+  }
+
+  // align.cc:274-315 — gapped strings, midline, error tallies
+  void populate() {
+    int64_t total = 0;
+    for (auto &c : cig) total += c.len;
+    ga.resize(total);
+    gb.resize(total);
+    mid.resize(total);
+    int64_t ia = 0, ib = 0, pos = 0;
+    matches = mismatches = 0;
+    for (auto &c : cig) {
+      int64_t ln = c.len;
+      if (c.op == 'M') {
+        if (ia + ln > (int64_t)a.size() || ib + ln > (int64_t)b.size())
+          throw Bail{};
+        for (int64_t i = 0; i < ln; i++) {
+          char ca = a[ia + i], cb = b[ib + i];
+          ga[pos + i] = ca;
+          gb[pos + i] = cb;
+          char ua = up(ca), ub = up(cb);
+          bool both = ca != '-' && cb != '-';
+          bool eq = both && ua != 'N' && ub != 'N' && ua == ub;
+          mid[pos + i] = eq ? '|' : '*';
+          matches += eq;
+          mismatches += both && !eq;
+        }
+        ia += ln;
+        ib += ln;
+      } else if (c.op == 'D') {
+        if (ia + ln > (int64_t)a.size()) throw Bail{};
+        for (int64_t i = 0; i < ln; i++) {
+          ga[pos + i] = a[ia + i];
+          gb[pos + i] = '-';
+          mid[pos + i] = '*';
+        }
+        ia += ln;
+      } else {  // 'I' (and the '\0' sentinel, always zero-length)
+        if (ib + ln > (int64_t)b.size()) throw Bail{};
+        for (int64_t i = 0; i < ln; i++) {
+          ga[pos + i] = '-';
+          gb[pos + i] = b[ib + i];
+          mid[pos + i] = '*';
+        }
+        ib += ln;
+      }
+      pos += ln;
+    }
+  }
+
+  void append_cigar(const std::vector<Cig> &app) {
+    if (app.empty()) return;
+    size_t start = 0;
+    if (!cig.empty() && cig.back().op == app[0].op) {
+      cig.back().len += app[0].len;
+      start = 1;
+    }
+    cig.insert(cig.end(), app.begin() + start, app.end());
+  }
+
+  void prepend_cigar(const std::vector<Cig> &app) {
+    if (app.empty()) return;
+    if (!cig.empty() && cig.front().op == app.back().op) {
+      cig.front().len += app.back().len;
+      cig.insert(cig.begin(), app.begin(), app.end() - 1);
+    } else {
+      cig.insert(cig.begin(), app.begin(), app.end());
+    }
+  }
+
+  // align.cc:480-501 incl. the empty-alignment '\0' sentinel run
+  void cigar_from_alignment() {
+    int64_t n = (int64_t)ga.size();
+    cig.clear();
+    if (n == 0) {
+      cig.push_back({'\0', 0});
+      return;
+    }
+    for (int64_t i = 0; i < n;) {
+      char op = ga[i] == '-' ? 'I' : (gb[i] == '-' ? 'D' : 'M');
+      int64_t j = i + 1;
+      while (j < n &&
+             (ga[j] == '-' ? 'I' : (gb[j] == '-' ? 'D' : 'M')) == op)
+        j++;
+      cig.push_back({op, j - i});
+      i = j;
+    }
+  }
+
+  // align.cc:343-456 trimming; per-column scores with gap opens charged
+  // at the run edge the scan direction encounters (ops/cigar.py
+  // _column_scores)
+  std::vector<int64_t> column_scores(const RCfg &cfg, bool forward) const {
+    int64_t n = span();
+    std::vector<int64_t> sc(n);
+    for (int64_t i = 0; i < n; i++) {
+      bool gapA = ga[i] == '-', gapB = gb[i] == '-';
+      bool isgap = gapA || gapB;
+      int64_t s = mid[i] == '|' ? cfg.match : (!isgap ? cfg.mis : cfg.gape);
+      bool open;
+      if (forward) {
+        open = (i == 0) ? isgap
+                        : ((gapA && ga[i - 1] != '-') ||
+                           (gapB && gb[i - 1] != '-'));
+      } else {
+        open = (i == n - 1) ? isgap
+                            : ((gapA && ga[i + 1] != '-') ||
+                               (gapB && gb[i + 1] != '-'));
+      }
+      sc[i] = s + ((open && isgap) ? cfg.gapo : 0);
+    }
+    return sc;
+  }
+
+  // Keep the max-scoring suffix.  Reference quirk reproduced: the
+  // "trim everything" sentinel max_i = a.size() compares a GAPPED column
+  // index with the ungapped length and can collide with a legitimate
+  // positive-score cut (align.cc:345; pinned by
+  // tests/test_aligner.py::test_trim_front_sentinel_collision_quirk).
+  void trim_front(const RCfg &cfg) {
+    int64_t n = span();
+    auto sc = column_scores(cfg, false);
+    int64_t gm = -1, max_i = -1;
+    if (n) {
+      int64_t acc = 0;
+      std::vector<int64_t> rcum(n);
+      for (int64_t i = n - 1; i >= 0; i--) {
+        acc += sc[i];
+        rcum[i] = acc;
+      }
+      gm = *std::max_element(rcum.begin(), rcum.end());
+      if (gm >= 0)
+        for (int64_t i = 0; i < n; i++)
+          if (rcum[i] == gm) {
+            max_i = i;
+            break;
+          }
+    }
+    if (n == 0 || gm < 0 || max_i == (int64_t)a.size()) {
+      a.clear();
+      b.clear();
+      sa = ea;
+      sb = eb;
+      cig.clear();
+      populate();
+      return;
+    }
+    int64_t cur_len = 0;
+    size_t ci = 0;
+    while (ci < cig.size()) {
+      char op = cig[ci].op;
+      int64_t ln = cig[ci].len;
+      if (ln + cur_len > max_i) {
+        if (op != 'M') throw Bail{};
+        int64_t need = max_i - cur_len;
+        cig[ci].len = ln - need;
+        cig.erase(cig.begin(), cig.begin() + ci);
+        sa += need;
+        sb += need;
+        break;
+      }
+      cur_len += ln;
+      if (op == 'M') {
+        sa += ln;
+        sb += ln;
+      } else if (op == 'I') {
+        sb += ln;
+      } else {
+        sa += ln;
+      }
+      ci++;
+    }
+    if (ea - sa < 0 || ea - sa > (int64_t)a.size() || eb - sb < 0 ||
+        eb - sb > (int64_t)b.size())
+      throw Bail{};
+    a.erase(0, a.size() - (size_t)(ea - sa));
+    b.erase(0, b.size() - (size_t)(eb - sb));
+    populate();
+  }
+
+  // Keep the max-scoring prefix (rightmost tie), align.cc:400-456.
+  void trim_back(const RCfg &cfg) {
+    int64_t n = span();
+    auto sc = column_scores(cfg, true);
+    std::vector<int64_t> cum(n);
+    int64_t acc = 0, gm = -1;
+    for (int64_t i = 0; i < n; i++) {
+      acc += sc[i];
+      cum[i] = acc;
+    }
+    if (n) gm = *std::max_element(cum.begin(), cum.end());
+    if (n == 0 || gm < 0) {
+      a.clear();
+      b.clear();
+      ea = sa;
+      eb = sb;
+      cig.clear();
+      populate();
+      return;
+    }
+    int64_t max_i = -1;
+    for (int64_t i = n - 1; i >= 0; i--)
+      if (cum[i] == gm) {
+        max_i = i;
+        break;
+      }
+    max_i += 1;
+    ea = sa;
+    eb = sb;
+    int64_t cur_len = 0;
+    size_t ci = 0;
+    while (ci < cig.size()) {
+      char op = cig[ci].op;
+      int64_t ln = cig[ci].len;
+      if (ln + cur_len >= max_i) {
+        if (op != 'M') throw Bail{};
+        int64_t need = max_i - cur_len;
+        cig[ci].len = need;
+        cig.resize(ci + 1);
+        ea += need;
+        eb += need;
+        break;
+      }
+      cur_len += ln;
+      if (op == 'M') {
+        ea += ln;
+        eb += ln;
+      } else if (op == 'I') {
+        eb += ln;
+      } else {
+        ea += ln;
+      }
+      ci++;
+    }
+    if (ea - sa < 0 || ea - sa > (int64_t)a.size() || eb - sb < 0 ||
+        eb - sb > (int64_t)b.size())
+      throw Bail{};
+    a.resize((size_t)(ea - sa));
+    b.resize((size_t)(eb - sb));
+    populate();
+  }
+
+  // merge() support: drop gapped-string suffix past the trim-th keyed
+  // non-gap column from the END (align.cc:511-525 scan; ops/cigar.py
+  // merge.cut_self)
+  void cut_back(int64_t trim, bool key_a) {
+    int64_t n = span(), pos, q = 0, r = 0;
+    if (trim > 0) {
+      int64_t count = 0;
+      pos = 0;
+      for (int64_t i = n - 1; i >= 0; i--) {
+        char c = key_a ? ga[i] : gb[i];
+        if (c != '-' && ++count == trim) {
+          pos = i;
+          break;
+        }
+      }
+      for (int64_t i = pos; i < n; i++) {
+        q += ga[i] != '-';
+        r += gb[i] != '-';
+      }
+    } else {
+      pos = n;
+    }
+    ga.resize(pos);
+    mid.resize(pos);
+    gb.resize(pos);
+    ea = sa + (int64_t)a.size() - q;
+    eb = sb + (int64_t)b.size() - r;
+    a.resize(a.size() - (size_t)q);
+    b.resize(b.size() - (size_t)r);
+  }
+
+  // ... and the prefix version (ops/cigar.py merge.cut_cur)
+  void cut_front(int64_t trim, bool key_a) {
+    int64_t n = span(), pos, q = 0, r = 0;
+    if (trim > 0) {
+      int64_t count = 0;
+      pos = n;
+      for (int64_t i = 0; i < n; i++) {
+        char c = key_a ? ga[i] : gb[i];
+        if (c != '-' && ++count == trim) {
+          pos = i + 1;
+          break;
+        }
+      }
+      for (int64_t i = 0; i < pos; i++) {
+        q += ga[i] != '-';
+        r += gb[i] != '-';
+      }
+    } else {
+      pos = 0;
+    }
+    ga.erase(0, (size_t)pos);
+    mid.erase(0, (size_t)pos);
+    gb.erase(0, (size_t)pos);
+    sa += q;
+    sb += r;
+    a.erase(0, (size_t)q);
+    b.erase(0, (size_t)r);
+  }
+
+  // align.cc:505-610 — merge an overlapping later alignment into this one
+  void merge(Aln &cur, const uint8_t *qstr, const uint8_t *rstr,
+             const RCfg &cfg) {
+    if (!(cur.sa < ea || cur.sb < eb)) throw Bail{};
+    if (!(ea <= cur.ea && eb <= cur.eb)) throw Bail{};
+    int64_t trim = ea - cur.sa;
+    cut_back(trim, true);
+    cur.cut_front(trim, true);
+    trim = eb - cur.sb;
+    cut_back(trim, false);
+    cur.cut_front(trim, false);
+    cigar_from_alignment();
+    cur.cigar_from_alignment();
+    if (!(sa <= cur.sa && sb <= cur.sb)) throw Bail{};
+    if (!(ea <= cur.sa && eb <= cur.sb)) throw Bail{};
+    append_cigar(gap_cigar(qstr, rstr, ea, cur.sa, eb, cur.sb, cfg));
+    int64_t qgap = cur.sa - ea, rgap = cur.sb - eb;
+    a.append((const char *)qstr + ea, (size_t)qgap);
+    a += cur.a;
+    b.append((const char *)rstr + eb, (size_t)rgap);
+    b += cur.b;
+    ea = cur.ea;
+    eb = cur.eb;
+    append_cigar(cur.cig);
+    populate();
+  }
+};
+
+static Aln aln_from_seqs(const uint8_t *q, int64_t ql, const uint8_t *t,
+                         int64_t tl, const RCfg &cfg) {
+  Aln al;
+  al.a.assign((const char *)q, (size_t)ql);
+  al.b.assign((const char *)t, (size_t)tl);
+  al.ea = ql;
+  al.eb = tl;
+  al.cig = run_dp(q, ql, t, tl, cfg);
+  al.populate();
+  return al;
+}
+
+// Stitch exact-match anchors with aligned gaps (align.cc:199-270;
+// ops/cigar.py from_anchors_many per-chain body).
+static Aln aln_from_anchors(const uint8_t *q, const uint8_t *r,
+                            const std::vector<std::array<int64_t, 3>> &anc,
+                            const RCfg &cfg) {
+  Aln al;
+  if (anc.empty()) return al;
+  int64_t q0 = anc[0][0], r0 = anc[0][1], l0 = anc[0][2];
+  al.sa = q0;
+  al.ea = q0 + l0;
+  al.sb = r0;
+  al.eb = r0 + l0;
+  al.a.assign((const char *)q + q0, (size_t)l0);
+  al.b.assign((const char *)r + r0, (size_t)l0);
+  al.cig = {{'M', l0}};
+  int64_t pq = q0, pr = r0, pl = l0;
+  for (size_t i = 1; i < anc.size(); i++) {
+    int64_t aq = anc[i][0], ar = anc[i][1], ln = anc[i][2];
+    int64_t qpe = pq + pl, rpe = pr + pl;
+    if (!(qpe <= aq && rpe <= ar)) throw Bail{};
+    auto gc = gap_cigar(q, r, qpe, aq, rpe, ar, cfg);
+    al.ea = aq + ln;
+    al.eb = ar + ln;
+    al.a.append((const char *)q + qpe, (size_t)(aq + ln - qpe));
+    al.b.append((const char *)r + rpe, (size_t)(ar + ln - rpe));
+    al.append_cigar(gc);
+    al.append_cigar({{'M', ln}});
+    pq = aq;
+    pr = ar;
+    pl = ln;
+  }
+  al.populate();
+  return al;
+}
+
+// Join sub-alignments with aligned gaps plus trimmed side extensions
+// (align.cc:107-197; ops/cigar.py from_guide).
+static Aln aln_from_guide(const uint8_t *q, int64_t qlen, const uint8_t *r,
+                          int64_t rlen, const std::vector<Aln *> &guide,
+                          int side, const RCfg &cfg) {
+  Aln al = *guide[0];
+  for (size_t gi = 1; gi < guide.size(); gi++) {
+    Aln &cur = *guide[gi];
+    if (!(al.ea <= cur.sa && al.eb <= cur.sb)) throw Bail{};
+    auto gc = gap_cigar(q, r, al.ea, cur.sa, al.eb, cur.sb, cfg);
+    int64_t qpe = al.ea, rpe = al.eb;
+    al.ea = cur.ea;
+    al.eb = cur.eb;
+    al.a.append((const char *)q + qpe, (size_t)(cur.ea - qpe));
+    al.b.append((const char *)r + rpe, (size_t)(cur.eb - rpe));
+    al.append_cigar(gc);
+    al.append_cigar(cur.cig);
+  }
+  int64_t qlo = al.sa, qhi = al.ea, rlo = al.sb, rhi = al.eb;
+  if (side) {
+    int64_t qlo_n = std::max<int64_t>(0, qlo - side);
+    int64_t rlo_n = std::max<int64_t>(0, rlo - side);
+    if ((qlo - qlo_n) && (rlo - rlo_n)) {
+      Aln gap = aln_from_seqs(q + qlo_n, qlo - qlo_n, r + rlo_n,
+                              rlo - rlo_n, cfg);
+      gap.trim_front(cfg);
+      qlo_n = qlo - (gap.ea - gap.sa);
+      rlo_n = rlo - (gap.eb - gap.sb);
+      al.prepend_cigar(gap.cig);
+      al.a.insert(0, (const char *)q + qlo_n, (size_t)(qlo - qlo_n));
+      al.b.insert(0, (const char *)r + rlo_n, (size_t)(rlo - rlo_n));
+      al.sa = qlo = qlo_n;
+      al.sb = rlo = rlo_n;
+    }
+    int64_t qhi_n = std::min(qhi + side, qlen);
+    int64_t rhi_n = std::min(rhi + side, rlen);
+    if ((qhi_n - qhi) && (rhi_n - rhi)) {
+      Aln gap = aln_from_seqs(q + qhi, qhi_n - qhi, r + rhi, rhi_n - rhi,
+                              cfg);
+      gap.trim_back(cfg);
+      qhi_n = qhi + gap.ea;
+      rhi_n = rhi + gap.eb;
+      al.append_cigar(gap.cig);
+      al.a.append((const char *)q + qhi, (size_t)(qhi_n - qhi));
+      al.b.append((const char *)r + rhi, (size_t)(rhi_n - rhi));
+      al.ea = qhi = qhi_n;
+      al.eb = rhi = rhi_n;
+    }
+  }
+  al.populate();
+  return al;
+}
+
+struct RHit {
+  int64_t qs, qe, rs, re;
+  Aln aln;
+};
+
+// refine.cc:23-193 (models/aligner.py refine_chains)
+static void refine_chains(std::vector<RHit> &hits, const uint8_t *q,
+                          int64_t qlen, const uint8_t *r, int64_t rlen,
+                          bool same_chr, int64_t oqs, int64_t ors,
+                          const RCfg &cfg, std::vector<RHit> &out) {
+  std::stable_sort(hits.begin(), hits.end(),
+                   [](const RHit &x, const RHit &y) {
+                     return std::tie(x.qs, x.qe, x.rs, x.re) <
+                            std::tie(y.qs, y.qe, y.rs, y.re);
+                   });
+  int64_t n = (int64_t)hits.size();
+  std::vector<int64_t> score(n), dp(n, 0);
+  std::vector<int64_t> prev(n, -1);
+  for (int64_t i = 0; i < n; i++)
+    score[i] = (int64_t)(cfg.rf_match * (double)hits[i].aln.matches -
+                         cfg.rf_mismatch * (double)hits[i].aln.mismatches -
+                         cfg.rf_gap * (double)hits[i].aln.gap_bases());
+  std::vector<std::pair<int64_t, int64_t>> maxes;
+  for (int64_t ai = 0; ai < n; ai++) {
+    const RHit &c = hits[ai];
+    if (same_chr) {
+      int64_t qo = std::max<int64_t>(
+          0, std::min(oqs + c.qe, ors + c.re) -
+                 std::max(oqs + c.qs, ors + c.rs));
+      if ((c.re - c.rs) - qo < cfg.rf_side_align &&
+          (c.qe - c.qs) - qo < cfg.rf_side_align)
+        continue;
+    }
+    dp[ai] = score[ai];
+    for (int64_t aj = ai - 1; aj >= 0; aj--) {
+      const RHit &p = hits[aj];
+      int64_t cqs = std::max(c.qs, p.qe);
+      int64_t crs = std::max(c.rs, p.re);
+      if (p.qe >= c.qe || p.re >= c.re) continue;
+      if (p.rs >= c.rs) continue;
+      int64_t ma = std::max(cqs - p.qe, crs - p.re);
+      int64_t mi = std::min(cqs - p.qe, crs - p.re);
+      if (ma >= cfg.rf_max_gap) continue;
+      if (same_chr) {
+        int64_t qo = std::max<int64_t>(
+            0, std::min(oqs + cqs, ors + crs) -
+                   std::max(oqs + p.qe, ors + p.re));
+        if (qo >= 1) continue;
+      }
+      int64_t mis = (int64_t)(cfg.rf_mismatch * (double)mi);
+      int64_t gap = (int64_t)(cfg.rf_gapopen + cfg.rf_gap * (double)(ma - mi));
+      int64_t sco = dp[aj] + score[ai] - mis - gap;
+      if (sco >= dp[ai]) {
+        dp[ai] = sco;
+        prev[ai] = aj;
+      }
+    }
+    maxes.push_back({dp[ai], ai});
+  }
+
+  std::sort(maxes.begin(), maxes.end(),
+            std::greater<std::pair<int64_t, int64_t>>());
+  std::vector<char> used(n, 0);
+  for (auto &m : maxes) {
+    if (m.first == 0) break;
+    int64_t maxi = m.second;
+    if (used[maxi]) continue;
+    std::vector<int64_t> path;
+    while (maxi != -1 && !used[maxi]) {
+      path.push_back(maxi);
+      used[maxi] = 1;
+      maxi = prev[maxi];
+    }
+    std::reverse(path.begin(), path.end());
+
+    int64_t qlo = hits[path[0]].qs, qhi = hits[path.back()].qe;
+    int64_t rlo = hits[path[0]].rs, rhi = hits[path.back()].re;
+
+    int64_t est = hits[path[0]].aln.span();
+    for (size_t i = 1; i < path.size(); i++) {
+      est += hits[path[i]].aln.span();
+      est += std::max(hits[path[i]].qs - hits[path[i - 1]].qe,
+                      hits[path[i]].rs - hits[path[i - 1]].re);
+    }
+    if (est < cfg.rf_min_read - cfg.rf_side_align) continue;
+
+    bool overlap = false;
+    for (auto &h : out) {
+      int64_t qo = std::max<int64_t>(
+          0, std::min(qhi, h.qe) - std::max(qlo, h.qs));
+      int64_t ro = std::max<int64_t>(
+          0, std::min(rhi, h.re) - std::max(rlo, h.rs));
+      if (qhi - qlo - qo < cfg.rf_side_align &&
+          rhi - rlo - ro < cfg.rf_side_align) {
+        overlap = true;
+        break;
+      }
+    }
+    if (overlap) continue;
+
+    std::vector<Aln *> guide;
+    RHit *prevh = &hits[path[0]];
+    for (size_t pi = 1; pi < path.size(); pi++) {
+      RHit *cur = &hits[path[pi]];
+      if (cur->qs < prevh->qe || cur->rs < prevh->re) {
+        prevh->aln.merge(cur->aln, q, r, cfg);
+        prevh->qs = prevh->aln.sa;
+        prevh->qe = prevh->aln.ea;
+        prevh->rs = prevh->aln.sb;
+        prevh->re = prevh->aln.eb;
+      } else {
+        guide.push_back(&prevh->aln);
+        prevh = cur;
+      }
+    }
+    guide.push_back(&prevh->aln);
+
+    RHit hit;
+    hit.aln = aln_from_guide(q, qlen, r, rlen, guide, cfg.rf_side_align,
+                             cfg);
+    hit.qs = hit.aln.sa;
+    hit.qe = hit.aln.ea;
+    hit.rs = hit.aln.sb;
+    hit.re = hit.aln.eb;
+    if (hit.aln.span() >= cfg.rf_min_read) out.push_back(std::move(hit));
+  }
+}
+
+// chain.cc:203-268 (models/aligner.py fast_align)
+static void fast_align_impl(const uint8_t *q, int64_t qlen,
+                            const uint8_t *r, int64_t rlen, bool same_chr,
+                            int64_t oqs, int64_t ors, const RCfg &cfg,
+                            std::vector<RHit> &out) {
+  std::vector<int32_t> abuf;
+  int64_t cap = 4 * std::max<int64_t>(1 << 12, qlen / 4);
+  int64_t na;
+  for (;;) {
+    abuf.resize((size_t)cap);
+    na = sedef_anchors(q, qlen, r, rlen, same_chr ? 1 : 0, oqs, ors, cfg.k,
+                       1000, abuf.data(), cap);
+    if (na >= 0) break;
+    if (na == -2) throw Bail{};
+    cap = std::max(cap * 4, (-na - 1) * 16 + 64);
+  }
+
+  std::vector<int32_t> aq(na), ar(na), al_(na), ahu(na);
+  for (int64_t i = 0; i < na; i++) {
+    aq[i] = abuf[4 * i];
+    ar[i] = abuf[4 * i + 1];
+    al_[i] = abuf[4 * i + 2];
+    ahu[i] = abuf[4 * i + 3];
+  }
+  std::vector<int32_t> path((size_t)std::max<int64_t>(na, 1));
+  int64_t bcap = 2 * (na + 2);
+  std::vector<int64_t> bounds((size_t)bcap);
+  int64_t nb = sedef_chain(aq.data(), ar.data(), al_.data(), ahu.data(), na,
+                           cfg.max_chain_gap, cfg.match_chain_score,
+                           path.data(), bounds.data(), bcap);
+  if (nb < 0) throw Bail{};
+
+  std::vector<RHit> hits;
+  std::vector<std::vector<std::array<int64_t, 3>>> guides;
+  for (int64_t bi = 1; bi < nb; bi++) {
+    int64_t be = bounds[2 * bi], hu = bounds[2 * bi + 1];
+    int64_t bs = bounds[2 * (bi - 1)];
+    int64_t qlo = aq[path[be - 1]];
+    int64_t qhi = (int64_t)aq[path[bs]] + al_[path[bs]];
+    int64_t rlo = ar[path[be - 1]];
+    int64_t rhi = (int64_t)ar[path[bs]] + al_[path[bs]];
+    int64_t span = std::max(rhi - rlo, qhi - qlo);
+    if ((hu == 0 || span < cfg.min_uppercase_match) &&
+        (double)span <
+            (double)cfg.min_read_size * (1.0 - cfg.max_error))
+      continue;
+    RHit h;
+    h.qs = qlo;
+    h.qe = qhi;
+    h.rs = rlo;
+    h.re = rhi;
+    hits.push_back(std::move(h));
+    std::vector<std::array<int64_t, 3>> g;
+    for (int64_t i = be - 1; i >= bs; i--)
+      g.push_back({(int64_t)aq[path[i]], (int64_t)ar[path[i]],
+                   (int64_t)al_[path[i]]});
+    guides.push_back(std::move(g));
+  }
+  for (size_t i = 0; i < hits.size(); i++) {
+    hits[i].aln = aln_from_anchors(q, r, guides[i], cfg);
+    hits[i].qs = hits[i].aln.sa;
+    hits[i].qe = hits[i].aln.ea;
+    hits[i].rs = hits[i].aln.sb;
+    hits[i].re = hits[i].aln.eb;
+  }
+  refine_chains(hits, q, qlen, r, rlen, same_chr, oqs, ors, cfg, out);
+}
+
+}  // namespace region_align
+
+extern "C" {
+
+// Full-region fast_align + refine.  Per-hit output: 8 int64 fields
+// (qs, qe, rs, re, n_cigar_runs, matches, mismatches, gap_bases); CIGAR
+// runs concatenated into ops_out/lens_out in hit order.  Returns n_hits,
+// -1 = fall back to the Python path, -2 = hit_out too small (regrow),
+// -3 = cigar buffers too small (regrow).
+int64_t sedef_fast_align(
+    const uint8_t *q, int64_t qlen, const uint8_t *r, int64_t rlen,
+    int same_chr, int64_t oqs, int64_t ors, int k, int match, int mis,
+    int gapo, int gape, int max_chain_gap, int match_chain_score,
+    int min_uppercase_match, int min_read_size, double max_error,
+    double rf_match, double rf_mismatch, double rf_gap, double rf_gapopen,
+    int rf_min_read, int rf_side_align, int rf_max_gap, int64_t *hit_out,
+    int64_t hit_cap, uint8_t *ops_out, int32_t *lens_out,
+    int64_t cig_cap) {
+  using namespace region_align;
+  RCfg cfg;
+  cfg.match = match;
+  cfg.mis = mis;
+  cfg.gapo = gapo;
+  cfg.gape = gape;
+  cfg.k = k;
+  cfg.max_chain_gap = max_chain_gap;
+  cfg.match_chain_score = match_chain_score;
+  cfg.min_uppercase_match = min_uppercase_match;
+  cfg.min_read_size = min_read_size;
+  cfg.max_error = max_error;
+  cfg.rf_match = rf_match;
+  cfg.rf_mismatch = rf_mismatch;
+  cfg.rf_gap = rf_gap;
+  cfg.rf_gapopen = rf_gapopen;
+  cfg.rf_min_read = rf_min_read;
+  cfg.rf_side_align = rf_side_align;
+  cfg.rf_max_gap = rf_max_gap;
+
+  std::vector<RHit> out;
+  try {
+    fast_align_impl(q, qlen, r, rlen, same_chr != 0, oqs, ors, cfg, out);
+  } catch (Bail &) {
+    return -1;
+  } catch (std::exception &) {
+    return -1;
+  }
+
+  int64_t nh = (int64_t)out.size();
+  if (nh * 8 > hit_cap) return -2;
+  int64_t cpos = 0;
+  for (int64_t i = 0; i < nh; i++) {
+    RHit &h = out[i];
+    int64_t ncig = (int64_t)h.aln.cig.size(), gb = 0;
+    if (cpos + ncig > cig_cap) return -3;
+    for (auto &c : h.aln.cig) {
+      ops_out[cpos] = (uint8_t)c.op;
+      lens_out[cpos] = (int32_t)c.len;
+      if (c.op != 'M') gb += c.len;
+      cpos++;
+    }
+    int64_t *row = hit_out + i * 8;
+    row[0] = h.qs;
+    row[1] = h.qe;
+    row[2] = h.rs;
+    row[3] = h.re;
+    row[4] = ncig;
+    row[5] = h.aln.matches;
+    row[6] = h.aln.mismatches;
+    row[7] = gb;
+  }
+  return nh;
 }
 
 }  // extern "C"

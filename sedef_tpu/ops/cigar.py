@@ -105,6 +105,57 @@ def default_aligner() -> WavefrontAligner:
     return _default_aligner
 
 
+class AlnStats:
+    """Stats-only stand-in for ``Alignment`` used by the native
+    full-region align path (``native.cc sedef_fast_align``): carries the
+    CIGAR and the tallies ``Hit.to_bed`` needs, without materializing
+    gapped strings the native core already consumed."""
+
+    __slots__ = ("cigar", "_matches", "_mismatches", "_gaps", "_gap_bases",
+                 "_span")
+
+    def __init__(self, cigar: list[tuple[str, int]], matches: int,
+                 mismatches: int, gap_bases: int):
+        self.cigar = cigar
+        self._matches = matches
+        self._mismatches = mismatches
+        self._gap_bases = gap_bases
+        self._gaps = sum(1 for op, _ in cigar if op != "M")
+        self._span = sum(ln for _, ln in cigar)
+
+    def span(self) -> int:
+        return self._span
+
+    def matches(self) -> int:
+        return self._matches
+
+    def mismatches(self) -> int:
+        return self._mismatches
+
+    def gaps(self) -> int:
+        return self._gaps
+
+    def gap_bases(self) -> int:
+        return self._gap_bases
+
+    def _err_denom(self) -> int:
+        return self._matches + self._gap_bases + self._mismatches
+
+    def gap_error(self) -> float:
+        d = self._err_denom()
+        return 100.0 * self._gap_bases / d if d else 0.0
+
+    def mismatch_error(self) -> float:
+        d = self._err_denom()
+        return 100.0 * self._mismatches / d if d else 0.0
+
+    def total_error(self) -> float:
+        return self.mismatch_error() + self.gap_error()
+
+    def cigar_string(self) -> str:
+        return "".join(f"{ln}{op}" for op, ln in self.cigar if ln)
+
+
 class Alignment:
     """Local-coordinate alignment of string ``a`` against string ``b``."""
 
