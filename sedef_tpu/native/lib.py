@@ -99,10 +99,15 @@ if _lib is not None:
         ctypes.c_int64]
 
     if hasattr(_lib, "sedef_populate"):
+        # raw-pointer signature: this is called once per alignment in the
+        # stats stage and ndpointer from_param validation alone cost ~1 s
+        # per 17 K alignments (measured r5)
         _lib.sedef_populate.restype = ctypes.c_int64
         _lib.sedef_populate.argtypes = [
-            _u8, _u8, _u8, _i32, ctypes.c_int64, _u8, _u8, _u8,
-            ctypes.c_int64, _i64]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p]
 
     if hasattr(_lib, "sedef_align_batch"):
         _lib.sedef_align_batch.restype = ctypes.c_int64
@@ -392,16 +397,15 @@ def populate(a: bytes, b: bytes, ops: np.ndarray, lens: np.ndarray
     """Gapped strings + midline + (matches, mismatches) in one native
     pass (align.cc:274-315 semantics; see ops/cigar.py populate)."""
     total = int(lens.sum())
-    ga = np.empty(total, dtype=np.uint8)
-    gb = np.empty(total, dtype=np.uint8)
-    mid = np.empty(total, dtype=np.uint8)
+    buf = np.empty(3 * total, dtype=np.uint8)
     counts = np.zeros(2, dtype=np.int64)
+    base = buf.ctypes.data
     n = _lib.sedef_populate(
-        np.frombuffer(a, dtype=np.uint8),
-        np.frombuffer(b, dtype=np.uint8), ops, lens, len(ops),
-        ga, gb, mid, total, counts)
+        a, b, ops.ctypes.data, lens.ctypes.data, len(ops),
+        base, base + total, base + 2 * total, total, counts.ctypes.data)
     assert n == total, (n, total)
-    return (ga.tobytes(), gb.tobytes(), mid.tobytes(),
+    bb = buf.tobytes()
+    return (bb[:total], bb[total:2 * total], bb[2 * total:],
             int(counts[0]), int(counts[1]))
 
 

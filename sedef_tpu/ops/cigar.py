@@ -13,6 +13,8 @@ CIGAR ops ('M'/'D'/'I'): 'M' consumes both sequences, 'D' consumes only
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from ..config import DEFAULT, Config
@@ -21,6 +23,7 @@ from .wavefront import WavefrontAligner
 
 _DASH = ord("-")
 _N = ord("N")
+_CIGAR_RE = re.compile(r"(\d*)([A-Za-z])")
 
 
 def _ceq_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -193,15 +196,11 @@ class Alignment:
         al = cls()
         al.a, al.b = fa, fb
         al.end_a, al.end_b = len(fa), len(fb)
-        num = 0
-        for ch in cigar_str:
-            if ch.isdigit():
-                num = 10 * num + int(ch)
-            elif ch == ";":
-                continue
-            else:
-                al.cigar.append((ch, num))
-                num = 0
+        # one regex pass over the string (the per-char isdigit loop was
+        # ~20% of the stats stage); digits may be absent -> (op, 0),
+        # ';' separators fall outside every match
+        al.cigar = [(op, int(num) if num else 0)
+                    for num, op in _CIGAR_RE.findall(cigar_str)]
         al.populate()
         return al
 
